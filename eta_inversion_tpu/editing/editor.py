@@ -1,0 +1,76 @@
+"""Editor base classes.
+
+Counterpart of /root/reference/modules/editing/editor.py.  `Editor.edit` keeps
+the reference protocol: (image NHWC [-1,1], source_prompt, target_prompt, cfg,
+inv_cfg) -> {"image", "latent"[, "image_inv", "latent_inv"]} or None for
+unsupported combinations.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..inversion.base import DiffusionInversion
+from .controller import Controller
+
+
+class Editor:
+    def edit(self, image, source_prompt: str, target_prompt: str,
+             cfg: Optional[Dict[str, Any]] = None, inv_cfg: Optional[Dict[str, Any]] = None,
+             **kwargs) -> Optional[Dict[str, Any]]:
+        raise NotImplementedError
+
+
+class ControllerBasedEditor(Editor):
+    """Invert with the source prompt, then denoise [source, target] under a
+    functional controller (reference editor.py:30-118)."""
+
+    def __init__(self, inverter: DiffusionInversion, no_source_backward: bool = False,
+                 dft_cfg: Optional[Dict[str, Any]] = None, fake_edit: bool = False):
+        self.inverter = inverter
+        self.no_source_backward = no_source_backward
+        self.dft_cfg = dft_cfg if dft_cfg is not None else {}
+        self.fake_edit = fake_edit
+
+    def make_controller(self, image, source_prompt: str, target_prompt: str,
+                        inv_res: Dict[str, Any], **kwargs) -> Controller:
+        raise NotImplementedError
+
+    def edit(self, image, source_prompt: str, target_prompt: str,
+             cfg: Optional[Dict[str, Any]] = None, inv_cfg: Optional[Dict[str, Any]] = None,
+             **kwargs) -> Optional[Dict[str, Any]]:
+        cfg = {**self.dft_cfg} if cfg is None else dict(cfg)
+        inv_cfg = inv_cfg or {}
+
+        src_context = self.inverter.create_context(source_prompt)
+        target_context = self.inverter.create_context(target_prompt)
+
+        zT_gt = cfg.pop("zT_gt", None)
+        if self.fake_edit:
+            image = None
+            inv_res = {"latents": jnp.asarray(zT_gt)[None]}
+        else:
+            inv_res = self.inverter.invert(image, prompt=source_prompt,
+                                           context=src_context, inv_cfg=inv_cfg)
+
+        controller = self.make_controller(image=image, source_prompt=source_prompt,
+                                          target_prompt=target_prompt, inv_res=inv_res,
+                                          **cfg, **kwargs)
+        if controller is None and cfg:
+            return None
+
+        if not self.no_source_backward:
+            edit_res = self.inverter.sample(inv_res, context=[src_context, target_context],
+                                            ctrl=controller)
+            if edit_res is None:
+                return None
+            return {
+                "image_inv": edit_res["image"][0:1],
+                "image": edit_res["image"][1:2],
+                "latent_inv": edit_res["latent"][0:1],
+                "latent": edit_res["latent"][1:2],
+            }
+        edit_res = self.inverter.sample(inv_res, context=[target_context], ctrl=controller)
+        return {"image": edit_res["image"], "latent": edit_res["latent"]}

@@ -1,0 +1,338 @@
+"""DiffusionInversion: the scan-compiled inversion/denoise engine.
+
+TPU-native counterpart of /root/reference/modules/inversion/
+diffusion_inversion.py (class DiffusionInversion, the `diffinv` method).  The
+reference's Python `for t in timesteps` loops (:411, :432) become `lax.scan`
+bodies with fused classifier-free guidance; controllers are functional
+(editing/controller.py) instead of mutable objects; randomness is explicit
+PRNG-key threading.  Subclasses override the same primitive methods as in the
+reference (`predict_noise`, `step_forward/backward`, `predict_step_*`,
+`diffusion_forward/backward`) — but each override is a pure function traced
+into the scan.
+
+Compiled functions are cached globally keyed by (engine config, shapes,
+controller static structure), so repeated edits in an eval sweep never retrace.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..editing.controller import BatchLayout, Controller, ControllerEmpty
+from ..models import DiffusionModel
+from ..schedulers import (
+    DiffusionSchedule,
+    ddim_backward_step,
+    ddim_inverse_step,
+)
+
+_COMPILE_CACHE: Dict[Any, Any] = {}
+
+
+class DiffusionInversion:
+    """Naive DDIM inversion (registry key "diffinv") and the base engine."""
+
+    name = "diffinv"
+
+    def __init__(self, model: DiffusionModel, scheduler: Optional[str] = None,
+                 num_inference_steps: Optional[int] = None,
+                 guidance_scale_bwd: Optional[float] = None,
+                 guidance_scale_fwd: Optional[float] = None,
+                 inv_steps: str = "sameshift", verbose: bool = False, seed: int = 0):
+        # defaults mirror the reference (diffusion_inversion.py:32-35)
+        self.model = model
+        self.scheduler_name = scheduler or "ddim"
+        self.num_inference_steps = num_inference_steps or 50
+        self.guidance_scale_bwd = 7.5 if guidance_scale_bwd is None else guidance_scale_bwd
+        self.guidance_scale_fwd = 1.0 if guidance_scale_fwd is None else guidance_scale_fwd
+        self.inv_steps = inv_steps
+        self.verbose = verbose
+        self.seed = seed
+        self.schedule = DiffusionSchedule(model.schedule_config, self.num_inference_steps)
+        # "ddpm" backward = DDIM with eta=1 (reference diffusion_inversion.py:141,158-163)
+        self.eta_bwd = 1.0 if self.scheduler_name == "ddpm" else 0.0
+        if self.scheduler_name not in ("ddim", "ddpm", "dpm"):
+            raise ValueError(f"unknown scheduler {self.scheduler_name}")
+
+    # ------------------------------------------------------------------ config
+
+    def config_key(self) -> Tuple:
+        """Hashable engine configuration for the global compile cache."""
+        return (type(self).__name__, self.model.name, str(self.model.dtype),
+                self.scheduler_name, self.num_inference_steps,
+                self.guidance_scale_bwd, self.guidance_scale_fwd, self.inv_steps)
+
+    @staticmethod
+    def get_available_schedulers() -> List[str]:
+        return ["ddim", "ddpm", "dpm"]
+
+    # ---------------------------------------------------------------- codecs
+
+    def encode(self, image) -> jnp.ndarray:
+        image = jnp.asarray(image)
+        if image.ndim == 3:  # accept unbatched HWC
+            image = image[None]
+        if image.ndim != 4 or image.shape[-1] != 3:
+            raise ValueError(
+                f"expected NHWC image with 3 channels, got shape {image.shape}")
+        fn = self._cached("encode", (), lambda params, x: self.model.vae_encode(x))
+        return fn(self.model.params, image)
+
+    def decode(self, latent) -> jnp.ndarray:
+        fn = self._cached("decode", (), lambda params, z: self.model.vae_decode(z))
+        return fn(self.model.params, latent)
+
+    def create_context(self, prompt: str, negative_prompt: Optional[str] = "") -> jnp.ndarray:
+        """[uncond; cond] embeddings, shape (2, 77, D) — reference
+        diffusion_inversion.py:210-247."""
+        ids_c = self.model.tokenizer([prompt])
+        fn = self._cached("text", (), lambda params, ids: self.model.encode_text(ids))
+        cond = fn(self.model.params, ids_c)
+        if negative_prompt is None:
+            return cond
+        ids_u = self.model.tokenizer([negative_prompt])
+        uncond = fn(self.model.params, ids_u)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    def cat_context(self, contexts: List[jnp.ndarray]) -> jnp.ndarray:
+        """[[u1,c1],[u2,c2]] -> [u1,u2,c1,c2] (reference :462-479)."""
+        n = len(contexts)
+        b = contexts[0].shape[0]
+        assert b == 2, "cfg context should have batch dimension 2"
+        x = jnp.stack(contexts, axis=1)
+        return x.reshape(b * n, *x.shape[2:])
+
+    def cat_latent(self, latents: List[jnp.ndarray]) -> jnp.ndarray:
+        return jnp.concatenate(latents, axis=0)
+
+    # ------------------------------------------------------------- primitives
+
+    def combine_guidance(self, eps_u, eps_c, guidance_scale, latent, t, inp=None,
+                         is_fwd=False):
+        """CFG combination; override point for proximal guidance etc."""
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    def predict_noise(self, params, latent, t, context, guidance_scale,
+                      hooks=None, collect_store=False, is_fwd=False, inp=None,
+                      force_full_cfg=False):
+        """UNet noise prediction with classifier-free guidance
+        (reference :249-286). Returns (eps, store_dict)."""
+        store: Dict[str, Any] = {}
+
+        def unet(lat, ctx):
+            if collect_store:
+                return self.model.unet.apply(
+                    {"params": params["unet"]}, lat, t, ctx, hooks,
+                    mutable=["attn_store"])
+            return self.model.unet.apply({"params": params["unet"]}, lat, t, ctx, hooks), None
+
+        scalar_gs = (isinstance(guidance_scale, (int, float)) or guidance_scale is None) \
+            and not force_full_cfg
+        if guidance_scale is None:
+            eps, vars_ = unet(latent, context)
+        elif scalar_gs and guidance_scale == 0:
+            n = context.shape[0] // 2
+            eps, vars_ = unet(latent, context[:n])
+        elif scalar_gs and guidance_scale == 1:
+            n = context.shape[0] // 2
+            eps, vars_ = unet(latent, context[n:])
+        else:
+            if latent.shape[0] * 2 == context.shape[0]:
+                latent_in = jnp.concatenate([latent, latent], axis=0)
+            else:
+                assert latent.shape[0] == context.shape[0]
+                latent_in = latent
+            eps_all, vars_ = unet(latent_in, context)
+            n = latent_in.shape[0] // 2
+            eps_u, eps_c = eps_all[:n], eps_all[n:]
+            eps = self.combine_guidance(eps_u, eps_c, guidance_scale, latent, t, inp,
+                                        is_fwd=is_fwd)
+        if vars_ is not None:
+            from ..ops.attn_ctrl import flatten_store
+
+            store = flatten_store(vars_.get("attn_store", {}))
+        return eps, store
+
+    def step_forward(self, eps, t, latent, inp=None, rng=None):
+        return ddim_inverse_step(self.schedule, latent, eps, t, self.inv_steps)
+
+    def step_backward(self, eps, t, latent, inp=None, rng=None):
+        if self.eta_bwd:
+            noise = jax.random.normal(rng, latent.shape, latent.dtype)
+            return ddim_backward_step(self.schedule, latent, eps, t,
+                                      eta=self.eta_bwd, noise=noise)
+        return ddim_backward_step(self.schedule, latent, eps, t)
+
+    # ------------------------------------------------------------ scan bodies
+
+    def predict_step_forward(self, params, carry, inp, context, ctrl: Controller,
+                             layout: BatchLayout, guidance_scale=None):
+        latent, state, rng = carry["latent"], carry["state"], carry["rng"]
+        i, t = inp["i"], inp["t"]
+        rng, krng = jax.random.split(rng)
+        latent = ctrl.begin_step(i, t, latent, state)
+        ctx = inp.get("context", context)
+        gs = self.guidance_scale_fwd if guidance_scale is None else guidance_scale
+        eps, store = self.predict_noise(params, latent, t, ctx, gs,
+                                        hooks=ctrl.hooks(i, state, layout),
+                                        collect_store=ctrl.collect_store(),
+                                        is_fwd=True, inp=inp)
+        new_latent = self.step_forward(eps, t, latent, inp, krng)
+        new_latent, state = ctrl.end_step(i, t, new_latent, eps, store, state)
+        carry = {**carry, "latent": new_latent, "state": state, "rng": rng}
+        return carry, {"latent": new_latent, "eps": eps}
+
+    def predict_step_backward(self, params, carry, inp, context, ctrl: Controller,
+                              layout: BatchLayout):
+        latent, state, rng = carry["latent"], carry["state"], carry["rng"]
+        i, t = inp["i"], inp["t"]
+        rng, krng = jax.random.split(rng)
+        latent = ctrl.begin_step(i, t, latent, state)
+        ctx = inp.get("context", context)
+        if "uncond_emb" in inp:
+            # per-step null-embedding patching (NPI/NTI; reference
+            # negative_prompt_inversion.py:17-23, null_text_inversion.py:96-101):
+            # every unconditional row is replaced by this step's embedding.
+            n = ctx.shape[0] // 2
+            ctx = jnp.concatenate(
+                [jnp.broadcast_to(inp["uncond_emb"], ctx[:n].shape), ctx[n:]], axis=0)
+        eps, store = self.predict_noise(params, latent, t, ctx,
+                                        self.guidance_scale_bwd,
+                                        hooks=ctrl.hooks(i, state, layout),
+                                        collect_store=ctrl.collect_store(), inp=inp)
+        new_latent = self.step_backward(eps, t, latent, inp, krng)
+        new_latent, state = ctrl.end_step(i, t, new_latent, eps, store, state)
+        carry = {**carry, "latent": new_latent, "state": state, "rng": rng}
+        return carry, {"latent": new_latent, "eps": eps}
+
+    # extra per-step scanned arrays / extra carry entries (subclass hooks)
+    def forward_scan_extras(self, latent, context) -> Dict[str, jnp.ndarray]:
+        return {}
+
+    def backward_scan_extras(self, inv_result: Dict[str, Any], n_prompts: int
+                             ) -> Dict[str, jnp.ndarray]:
+        return {}
+
+    def backward_carry_extras(self, inv_result: Dict[str, Any]) -> Dict[str, Any]:
+        return {}
+
+    def backward_timesteps(self, inv_result: Dict[str, Any]) -> np.ndarray:
+        """Denoising timestep grid (subclasses may skip early steps)."""
+        return self.schedule.timesteps_backward
+
+    # ------------------------------------------------------------- main loops
+
+    def _layout(self, n_prompts: int, guidance_scale) -> BatchLayout:
+        cfg_dup = not (isinstance(guidance_scale, (int, float))
+                       and guidance_scale in (0, 1)) and guidance_scale is not None
+        return BatchLayout(n_prompts, cfg_dup)
+
+    def diffusion_forward(self, latent, context, guidance_scale_fwd=None,
+                          ctrl: Optional[Controller] = None, rng=None) -> Dict[str, Any]:
+        ctrl = ctrl or ControllerEmpty()
+        gs = self.guidance_scale_fwd if guidance_scale_fwd is None else guidance_scale_fwd
+        n_prompts = context.shape[0] // 2
+        layout = self._layout(n_prompts, gs)
+        ts = self.schedule.timesteps_forward(self.inv_steps)
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+
+        def fn(params, latent, context, extras, state0, rng):
+            inputs = {"i": jnp.arange(len(ts)), "t": jnp.asarray(ts), **extras}
+            carry0 = {"latent": latent, "state": state0, "rng": rng}
+
+            def body(carry, inp):
+                return self.predict_step_forward(params, carry, inp, context, ctrl,
+                                                 layout, guidance_scale=gs)
+
+            carry, ys = jax.lax.scan(body, carry0, inputs)
+            return {"latents": jnp.concatenate([latent[None], ys["latent"]], axis=0),
+                    "noise_preds": ys["eps"],
+                    "zT_inv": carry["latent"],
+                    "state": carry["state"]}
+
+        extras = self.forward_scan_extras(latent, context)
+        state0 = ctrl.init_state(self, latent, context)
+        jfn = self._cached("fwd", (gs, latent.shape, context.shape,
+                                   ctrl.static_key(), layout), fn)
+        out = jfn(self.model.params, latent, context, extras, state0, rng)
+        out["fwd_state"] = out.pop("state")
+        return out
+
+    def diffusion_backward(self, latent, context, inv_result: Dict[str, Any],
+                           ctrl: Optional[Controller] = None, rng=None):
+        ctrl = ctrl or ControllerEmpty()
+        n_prompts = context.shape[0] // 2
+        layout = self._layout(n_prompts, self.guidance_scale_bwd)
+        ts = self.backward_timesteps(inv_result)
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed + 1)
+
+        def fn(params, latent, context, extras, carry_extras, state0, rng):
+            inputs = {"i": jnp.arange(len(ts)), "t": jnp.asarray(ts), **extras}
+            carry0 = {"latent": latent, "state": state0, "rng": rng, **carry_extras}
+
+            def body(carry, inp):
+                carry, _ = self.predict_step_backward(params, carry, inp, context,
+                                                      ctrl, layout)
+                return carry, None
+
+            carry, _ = jax.lax.scan(body, carry0, inputs)
+            return carry["latent"]
+
+        extras = self.backward_scan_extras(inv_result, n_prompts)
+        carry_extras = self.backward_carry_extras(inv_result)
+        state0 = ctrl.init_state(self, latent, context)
+        jfn = self._cached("bwd", (latent.shape, context.shape,
+                                   ctrl.static_key(), layout, len(ts),
+                                   tuple(sorted(extras)), tuple(sorted(carry_extras))), fn)
+        return jfn(self.model.params, latent, context, extras, carry_extras, state0, rng)
+
+    # --------------------------------------------------------------- user API
+
+    def invert(self, image, prompt: Optional[str] = None, context=None,
+               guidance_scale_fwd: Optional[float] = None, rng=None,
+               **kwargs) -> Dict[str, Any]:
+        """image (NHWC [-1,1]) -> inversion result dict
+        {latents (S+1,B,h,w,c), noise_preds, zT_inv, context, ...}."""
+        context = context if context is not None else self.create_context(prompt)
+        latent = self.encode(jnp.asarray(image, dtype=jnp.float32))
+        fwd = self.diffusion_forward(latent, context, guidance_scale_fwd, rng=rng)
+        fwd["context"] = context
+        return {**kwargs, **fwd}
+
+    def sample(self, inv_result: Optional[Dict[str, Any]],
+               prompt: Optional[Union[str, List[str]]] = None,
+               context=None, ctrl: Optional[Controller] = None,
+               rng=None) -> Optional[Dict[str, Any]]:
+        if inv_result is None:
+            return None
+        latent = inv_result["latents"][-1]
+        if context is None:
+            context = self.create_context(prompt)
+        if isinstance(context, list):
+            n = len(context)
+            context = self.cat_context(context)
+            latent = self.cat_latent([latent] * n)
+        z0 = self.diffusion_backward(latent, context, inv_result, ctrl=ctrl, rng=rng)
+        if z0 is None:
+            return None
+        image = self.decode(z0)
+        return {"image": image, "latent": z0}
+
+    def invert_sample(self, image, prompt: str, rng=None) -> Dict[str, Any]:
+        context = self.create_context(prompt)
+        inv_res = self.invert(image, context=context, rng=rng)
+        return self.sample(inv_res, context=context, rng=rng)
+
+    # ------------------------------------------------------------------- jit
+
+    def _cached(self, tag: str, extra_key: Tuple, fn):
+        key = (tag, self.config_key(), extra_key)
+        cached = _COMPILE_CACHE.get(key)
+        if cached is None:
+            cached = jax.jit(fn)
+            _COMPILE_CACHE[key] = cached
+        return cached

@@ -1,0 +1,240 @@
+"""Model layer: Stable Diffusion bundle + image pre/post-processing.
+
+TPU-native counterpart of /root/reference/modules/models/__init__.py
+(`load_diffusion_model`, `StablePreprocess`, `StablePostProc`).  The bundle owns
+jitted Flax modules + param pytrees instead of a diffusers pipeline.  With zero
+network egress, weights come from (in order): an explicit safetensors directory,
+or deterministic seeded random init (architecture-exact; used for tests and
+synthetic benchmarking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attn_ctrl import AttnHooks
+from ..schedulers.tables import ScheduleConfig
+from .clip import CLIPTextConfig, CLIPTextEncoder
+from .tokenizer import TokenizerBase, load_tokenizer
+from .unet import UNet2DCondition, UNetConfig, build_attn_metas
+from .vae import AutoencoderKL, VAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelPreset:
+    name: str
+    image_size: int
+    unet: UNetConfig
+    vae: VAEConfig
+    text: CLIPTextConfig
+
+
+SD15 = ModelPreset(
+    name="sd15",
+    image_size=512,
+    unet=UNetConfig(),
+    vae=VAEConfig(),
+    text=CLIPTextConfig(),
+)
+
+# Tiny architecture-homologous preset for CPU tests and the multi-chip dry run.
+TINY = ModelPreset(
+    name="tiny",
+    image_size=16,
+    unet=UNetConfig(
+        sample_size=8,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        num_heads=2,
+        norm_num_groups=8,
+        attn_down=(True, False),
+    ),
+    vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8),
+    text=CLIPTextConfig(vocab_size=1024, hidden_size=32, num_layers=2, num_heads=2),
+)
+
+PRESETS: Dict[str, ModelPreset] = {"sd15": SD15, "tiny": TINY}
+
+
+class DiffusionModel:
+    """Bundle of UNet + VAE + text encoder + tokenizer + schedule config.
+
+    All heavy entry points are jitted with hook-structure-aware caching: the
+    same bundle serves every inverter/editor without retracing unless the
+    static hook topology changes.
+    """
+
+    def __init__(self, preset: ModelPreset, params: Dict[str, Any],
+                 tokenizer: TokenizerBase, dtype=jnp.float32,
+                 schedule: ScheduleConfig = ScheduleConfig()):
+        self.preset = preset
+        self.name = preset.name
+        self.image_size = preset.image_size
+        self.dtype = dtype
+        self.schedule_config = schedule
+        self.tokenizer = tokenizer
+        self.unet = UNet2DCondition(preset.unet, dtype=dtype)
+        self.vae = AutoencoderKL(preset.vae, dtype=dtype)
+        self.text_encoder = CLIPTextEncoder(preset.text, dtype=dtype)
+        self.params = params  # {"unet": ..., "vae": ..., "text": ...}
+        self.attn_metas = build_attn_metas(preset.unet)
+
+    # ---- latent geometry -----------------------------------------------------
+
+    @property
+    def latent_size(self) -> int:
+        return self.preset.unet.sample_size
+
+    @property
+    def latent_channels(self) -> int:
+        return self.preset.vae.latent_channels
+
+    @property
+    def scaling_factor(self) -> float:
+        return self.preset.vae.scaling_factor
+
+    # ---- forward passes ------------------------------------------------------
+
+    def apply_unet(self, latent, t, context, hooks: Optional[AttnHooks] = None,
+                   collect_store: bool = False):
+        """UNet epsilon prediction. Returns eps, or (eps, store_dict) when
+        collect_store (store entries are the sown attention probabilities)."""
+        if collect_store:
+            from ..ops.attn_ctrl import flatten_store
+
+            eps, vars_ = self.unet.apply(
+                {"params": self.params["unet"]}, latent, t, context, hooks,
+                mutable=["attn_store"])
+            return eps, flatten_store(vars_.get("attn_store", {}))
+        return self.unet.apply({"params": self.params["unet"]}, latent, t, context, hooks)
+
+    def encode_text(self, input_ids) -> jnp.ndarray:
+        return self.text_encoder.apply({"params": self.params["text"]},
+                                       jnp.asarray(input_ids))
+
+    def vae_encode(self, image) -> jnp.ndarray:
+        """(B,H,W,3) [-1,1] -> scaled latent (posterior mean, reference
+        semantics at diffusion_inversion.py:196-208)."""
+        z = self.vae.apply({"params": self.params["vae"]}, image,
+                           method=AutoencoderKL.encode)
+        return z * self.scaling_factor
+
+    def vae_decode(self, latent) -> jnp.ndarray:
+        z = latent / self.scaling_factor
+        return self.vae.apply({"params": self.params["vae"]}, z,
+                              method=AutoencoderKL.decode)
+
+    # ---- text convenience ----------------------------------------------------
+
+    def embed_prompts(self, prompts) -> jnp.ndarray:
+        ids = self.tokenizer(prompts)
+        return self.encode_text(ids)
+
+
+def init_random_params(preset: ModelPreset, dtype=jnp.float32, seed: int = 0) -> Dict[str, Any]:
+    """Deterministic random-init parameters with the exact architecture shapes."""
+    k_unet, k_vae, k_text = jax.random.split(jax.random.PRNGKey(seed), 3)
+    s = preset.unet.sample_size
+    latent = jnp.zeros((1, s, s, preset.unet.in_channels), dtype)
+    ctx = jnp.zeros((1, 77, preset.unet.cross_attention_dim), dtype)
+    img = jnp.zeros((1, preset.image_size, preset.image_size, 3), dtype)
+    ids = jnp.zeros((1, preset.text.max_length), jnp.int32)
+
+    unet = UNet2DCondition(preset.unet, dtype=dtype)
+    vae = AutoencoderKL(preset.vae, dtype=dtype)
+    text = CLIPTextEncoder(preset.text, dtype=dtype)
+
+    unet_params = jax.jit(lambda k: unet.init(k, latent, 0, ctx)["params"])(k_unet)
+    vae_params = jax.jit(lambda k: vae.init(k, img)["params"])(k_vae)
+    text_params = jax.jit(lambda k: text.init(k, ids)["params"])(k_text)
+    return {"unet": unet_params, "vae": vae_params, "text": text_params}
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_model(name: str, dtype_str: str, seed: int, weights_dir: Optional[str]):
+    if name not in PRESETS:
+        raise ValueError(f"unknown model preset {name!r}; available: {sorted(PRESETS)}")
+    preset = PRESETS[name]
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_str]
+    if weights_dir:
+        from .weights import load_pretrained_params
+
+        params = load_pretrained_params(weights_dir, preset, dtype)
+        tokenizer = load_tokenizer(weights_dir, vocab_size=preset.text.vocab_size)
+    else:
+        params = init_random_params(preset, dtype, seed)
+        tokenizer = load_tokenizer(None, vocab_size=preset.text.vocab_size)
+    return DiffusionModel(preset, params, tokenizer, dtype=dtype)
+
+
+def load_diffusion_model(model: str = "sd15", dtype: str = "float32", seed: int = 0,
+                         weights_dir: Optional[str] = None,
+                         preproc_args: Optional[dict] = None
+                         ) -> Tuple[DiffusionModel, Tuple["StablePreprocess", "StablePostProc"]]:
+    """Counterpart of the reference loader (modules/models/__init__.py:104-138).
+    Returns (model bundle, (preprocess, postprocess))."""
+    bundle = _cached_model(model, dtype, seed, weights_dir)
+    pre = StablePreprocess(size=bundle.image_size, **(preproc_args or {}))
+    post = StablePostProc()
+    return bundle, (pre, post)
+
+
+class StablePreprocess:
+    """File/array -> center-crop -> resize -> float32 [-1,1] NHWC numpy.
+
+    Mirrors /root/reference/modules/models/__init__.py:12-76 (PIL-resize flag
+    kept for pixel parity with the reference's `pil_resize` option).
+    """
+
+    def __init__(self, size: int = 512, center_crop: bool = True, pil_resize: bool = True,
+                 return_np: bool = False):
+        self.size = size
+        self.center_crop = center_crop
+        self.pil_resize = pil_resize
+        self.return_np = return_np
+
+    def __call__(self, image) -> np.ndarray:
+        from PIL import Image
+
+        if isinstance(image, str):
+            img = Image.open(image).convert("RGB")
+        elif isinstance(image, np.ndarray):
+            img = Image.fromarray(image.astype(np.uint8))
+        else:
+            img = image.convert("RGB")
+
+        if self.center_crop:
+            w, h = img.size
+            side = min(w, h)
+            img = img.crop(((w - side) // 2, (h - side) // 2,
+                            (w - side) // 2 + side, (h - side) // 2 + side))
+        if img.size != (self.size, self.size):
+            if self.pil_resize:
+                img = img.resize((self.size, self.size), Image.Resampling.LANCZOS)
+            else:
+                import cv2
+
+                arr = cv2.resize(np.asarray(img), (self.size, self.size),
+                                 interpolation=cv2.INTER_AREA)
+                img = Image.fromarray(arr)
+        arr = np.asarray(img, dtype=np.float32) / 127.5 - 1.0  # HWC [-1,1]
+        out = arr[None]  # NHWC
+        return out
+
+
+class StablePostProc:
+    """VAE output [-1,1] NHWC -> uint8 HWC (reference modules/models/__init__.py:79-101)."""
+
+    def __call__(self, image) -> np.ndarray:
+        x = np.asarray(jax.device_get(image), dtype=np.float32)
+        if x.ndim == 4:
+            x = x[0]
+        x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
+        return (x * 255.0).round().astype(np.uint8)

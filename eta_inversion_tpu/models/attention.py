@@ -1,0 +1,141 @@
+"""UNet attention modules with functional intervention hooks.
+
+Counterpart of diffusers `Transformer2DModel`/`BasicTransformerBlock`/`Attention`
+as exercised by the reference's patched forward
+(/root/reference/modules/utils/ptp_utils.py:196-302).  Differences by design:
+
+  * hooks are explicit arguments (see ops/attn_ctrl.py), not monkey-patches;
+  * the probability tensor is only materialized when a hook requires it; large
+    self-attention goes through the Pallas flash kernel (ops/flash_attention.py);
+  * layouts are NHWC / (B, H, S, D), softmax in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attn_ctrl import AttnHooks, AttnLayerMeta
+from ..ops.flash_attention import attention, attention_probs
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None."""
+
+    heads: int
+    head_dim: int
+    meta: AttnLayerMeta
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, hooks: Optional[AttnHooks] = None):
+        b, s, _ = x.shape
+        inner = self.heads * self.head_dim
+        ctx = x if context is None else context
+        sk = ctx.shape[1]
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        # (B, S, H*D) -> (B, H, S, D)
+        q = q.reshape(b, s, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, sk, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        scale = self.head_dim ** -0.5
+
+        if hooks is not None:
+            q, k, v = hooks.qkv(self.meta, q, k, v)
+            sk = k.shape[2]
+
+        materialize = hooks is not None and (
+            hooks.wants_probs(self.meta) or hooks.store(self.meta)
+        )
+        if materialize:
+            p = attention_probs(q, k, scale)  # (B, H, S, Sk) fp32
+            if hooks.store(self.meta):
+                # reference stores (B*H, S, Sk) maps summed over steps
+                # (ptp.py:143-183); we sow per-layer and let the engine reduce.
+                self.sow("attn_store", self.meta.store_key, p,
+                         init_fn=lambda: 0.0, reduce_fn=lambda a, b_: b_)
+            p = hooks.probs(self.meta, p)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+        else:
+            o = attention(q, k, v, scale)
+
+        if hooks is not None:
+            o = hooks.out(self.meta, o)
+
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (dim -> 4*dim -> dim)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 8, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LayerNorm -> self-attn -> LayerNorm -> cross-attn -> LayerNorm -> GEGLU FF."""
+
+    heads: int
+    head_dim: int
+    self_meta: AttnLayerMeta
+    cross_meta: AttnLayerMeta
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, hooks: Optional[AttnHooks] = None):
+        dim = self.heads * self.head_dim
+        if hooks is not None:
+            x = hooks.hidden(self.self_meta, x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + CrossAttention(self.heads, self.head_dim, self.self_meta, self.dtype,
+                               name="attn1")(h, None, hooks)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        x = x + CrossAttention(self.heads, self.head_dim, self.cross_meta, self.dtype,
+                               name="attn2")(h, context, hooks)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        x = x + FeedForward(dim, self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GroupNorm -> 1x1 conv in -> transformer block(s) -> 1x1 conv out, residual."""
+
+    heads: int
+    head_dim: int
+    self_meta: AttnLayerMeta
+    cross_meta: AttnLayerMeta
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, hooks: Optional[AttnHooks] = None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.head_dim
+        residual = x
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
+                         name="norm")(x).astype(self.dtype)
+        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(self.heads, self.head_dim, self.self_meta,
+                                      self.cross_meta, self.dtype,
+                                      name=f"blocks_{d}")(x, context, hooks)
+        x = x.reshape(b, h, w, inner)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual

@@ -1,0 +1,98 @@
+"""Shared Flax building blocks for the diffusion models (NHWC, TPU-native).
+
+Counterparts of the torch/diffusers blocks used by the reference pipeline
+(/root/reference/modules/models/__init__.py:104-138 loads diffusers' UNet/VAE).
+Everything is channels-last, GroupNorm(32)/SiLU, with module names chosen to
+make the diffusers safetensors key mapping mechanical (see models/weights.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0,
+                       max_period: float = 10000.0):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding semantics;
+    SD uses flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    t = jnp.asarray(t)
+    if t.ndim == 0:
+        t = t[None]
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP lifting the sinusoidal embedding to the UNet time channel count."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(sample)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """GN-SiLU-Conv residual block with optional timestep conditioning."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            temb_p = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + temb_p[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # nearest-neighbor 2x upsample; jnp.repeat lowers to a cheap broadcast
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)

@@ -1,0 +1,162 @@
+"""Flax UNet2DCondition (Stable Diffusion 1.x architecture), NHWC, hook-aware.
+
+Architecture parity target: the diffusers UNet the reference loads
+(/root/reference/modules/models/__init__.py:104-138) — 4 down stages
+(320/640/1280/1280, cross-attention on the first three), mid block, 4 up stages,
+32 attention layers total (asserted by the reference at
+/root/reference/modules/utils/ptp_utils.py:299).
+
+TPU-native choices: channels-last layout, attention via Pallas flash kernels
+with functional hooks (ops/attn_ctrl.py), fp32 GroupNorm/LayerNorm with a
+configurable compute dtype (bf16 for speed), and static layer metadata so
+editing interventions compile into the graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attn_ctrl import AttnHooks, AttnLayerMeta, ResnetMeta
+from .attention import Transformer2D
+from .layers import Downsample, ResnetBlock, TimestepEmbedding, Upsample, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_heads: int = 8
+    norm_num_groups: int = 32
+    # which down stages carry cross-attention transformers (SD1.x: all but last)
+    attn_down: Tuple[bool, ...] = (True, True, True, False)
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.block_out_channels)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def build_attn_metas(config: UNetConfig) -> Dict[str, Tuple[AttnLayerMeta, AttnLayerMeta]]:
+    """Static attention-layer metadata in forward-execution order.
+
+    Keys: f"down_{i}_{j}", "mid", f"up_{i}_{j}".  Self-attention layer numbering
+    matches the reference's masactrl convention (16 self layers; up blocks start
+    at index 7, /root/reference/modules/utils/masactrl.py:20-39).
+    """
+    metas: Dict[str, Tuple[AttnLayerMeta, AttnLayerMeta]] = {}
+    idx = 0
+    self_idx = 0
+    cross_idx = 0
+
+    def add(key: str, place: str, res: int, heads: int):
+        nonlocal idx, self_idx, cross_idx
+        sm = AttnLayerMeta(idx, False, place, res, self_idx, -1, heads)
+        idx += 1
+        cm = AttnLayerMeta(idx, True, place, res, -1, cross_idx, heads)
+        idx += 1
+        self_idx += 1
+        cross_idx += 1
+        metas[key] = (sm, cm)
+
+    res = config.sample_size
+    for i in range(config.num_stages):
+        if config.attn_down[i]:
+            for j in range(config.layers_per_block):
+                add(f"down_{i}_{j}", "down", res, config.num_heads)
+        if i < config.num_stages - 1:
+            res //= 2
+    add("mid", "mid", res, config.num_heads)
+    for i in reversed(range(config.num_stages)):
+        if config.attn_down[i]:
+            for j in range(config.layers_per_block + 1):
+                # up block numbering in module tree is reversed stage order
+                add(f"up_{config.num_stages - 1 - i}_{j}", "up", res, config.num_heads)
+        if i > 0:
+            res *= 2
+    return metas
+
+
+class UNet2DCondition(nn.Module):
+    config: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 hooks: Optional[AttnHooks] = None):
+        """sample: (B, H, W, 4) NHWC latent; timesteps: scalar or (B,);
+        encoder_hidden_states: (B, 77, cross_attention_dim)."""
+        cfg = self.config
+        metas = build_attn_metas(cfg)
+        ctx = encoder_hidden_states.astype(self.dtype)
+
+        t = jnp.asarray(timesteps)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t, (sample.shape[0],))
+        temb = timestep_embedding(t, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(cfg.time_embed_dim, self.dtype, name="time_embedding")(
+            temb.astype(self.dtype))
+
+        x = sample.astype(self.dtype)
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv_in")(x)
+
+        def transformer(key: str, x, name: str):
+            sm, cm = metas[key]
+            ch = x.shape[-1]
+            return Transformer2D(cfg.num_heads, ch // cfg.num_heads, sm, cm,
+                                 groups=cfg.norm_num_groups, dtype=self.dtype,
+                                 name=name)(x, ctx, hooks)
+
+        # ---- down path -------------------------------------------------------
+        skips: List[jnp.ndarray] = [x]
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                                name=f"down_{i}_resnet_{j}")(x, temb)
+                if cfg.attn_down[i]:
+                    x = transformer(f"down_{i}_{j}", x, f"down_{i}_attn_{j}")
+                skips.append(x)
+            if i < cfg.num_stages - 1:
+                x = Downsample(ch, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+
+        # ---- mid -------------------------------------------------------------
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name="mid_resnet_0")(x, temb)
+        x = transformer("mid", x, "mid_attn")
+        x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                        name="mid_resnet_1")(x, temb)
+
+        # ---- up path ---------------------------------------------------------
+        for up_i, stage in enumerate(reversed(range(cfg.num_stages))):
+            ch = cfg.block_out_channels[stage]
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                                name=f"up_{up_i}_resnet_{j}")(x, temb)
+                if hooks is not None:
+                    x = hooks.resnet(ResnetMeta(up_i, j, x.shape[1]), x)
+                if cfg.attn_down[stage]:
+                    x = transformer(f"up_{up_i}_{j}", x, f"up_{up_i}_attn_{j}")
+            if stage > 0:
+                x = Upsample(ch, dtype=self.dtype, name=f"up_{up_i}_upsample")(x)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv_out")(x)
+        return x

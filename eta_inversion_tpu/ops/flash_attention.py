@@ -1,0 +1,131 @@
+"""Pallas TPU flash attention + attention dispatch.
+
+The reference materializes full similarity matrices in its patched attention
+forward (/root/reference/modules/utils/ptp_utils.py:238-253) — at the 64x64
+latent resolution that is a (B*heads, 4096, 4096) tensor per layer.  On TPU we
+never materialize it: self-attention at large sequence lengths runs through an
+online-softmax Pallas kernel (HBM -> VMEM tiles feeding the MXU), and the probs
+tensor only exists for layers where an editing hook actually asks for it (those
+are all <= 32x32 = 1024 tokens, or cross-attention with 77 keys — tiny).
+
+Kernel shape contract: q, k, v are (BH, S, D) with D padded to a multiple of 128
+and S a multiple of the block size.  The dispatcher handles padding/fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """One (batch*head, q-block) program: online softmax over k blocks."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+    bq, d = q.shape
+    seq_k = k_ref.shape[1]
+    num_kb = seq_k // block_k
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
+    """Flash attention over (BH, S, D) inputs. S % block == 0, D % 128 == 0."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(bh * sq * d * 2 + bh * sk * d * 2) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(q, k, v)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def xla_attention(q, k, v, scale: float):
+    """Reference-path attention via XLA einsums; fp32 softmax. q,k,v (B,H,S,D)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def attention_probs(q, k, scale: float):
+    """Materialized attention probabilities (fp32) for hook-carrying layers."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    return jax.nn.softmax(s * scale, axis=-1)
+
+
+def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048):
+    """Dispatching attention: Pallas flash kernel on TPU for long self-attention,
+    XLA path otherwise. q, k, v: (B, H, S, D)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    use_flash = (
+        on_tpu()
+        and sq == sk
+        and sq >= min_flash_seq
+        and sq % 512 == 0
+        and d <= 256
+    )
+    if not use_flash:
+        return xla_attention(q, k, v, scale)
+
+    dp = _round_up(d, 128)
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    if dp != d:
+        pad = [(0, 0), (0, 0), (0, dp - d)]
+        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
+    o = flash_attention_bhsd(qf, kf, vf, scale=float(scale))
+    if dp != d:
+        o = o[..., :d]
+    return o.reshape(b, h, sq, d)

@@ -1,0 +1,81 @@
+"""Model-layer tests: UNet/VAE/CLIP shapes, attention metadata topology,
+hook-driven attention stores, tokenizer contract."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from eta_inversion_tpu.models.tokenizer import HashTokenizer
+from eta_inversion_tpu.models.unet import UNetConfig, build_attn_metas
+from eta_inversion_tpu.ops.attn_ctrl import AttnHooks
+
+
+def test_sd15_attn_topology():
+    """SD-1.5 UNet must have exactly 32 attention layers (reference asserts
+    this at /root/reference/modules/utils/ptp_utils.py:299) with the expected
+    place/resolution layout."""
+    metas = build_attn_metas(UNetConfig())
+    flat = [m for pair in metas.values() for m in pair]
+    assert len(flat) == 32
+    assert sum(m.is_cross for m in flat) == 16
+    per_place = {}
+    for m in flat:
+        per_place[m.place] = per_place.get(m.place, 0) + 1
+    assert per_place == {"down": 12, "mid": 2, "up": 18}
+    # self-attention forward-order numbering: up blocks start at index 7
+    self_layers = sorted((m for m in flat if not m.is_cross), key=lambda m: m.self_idx)
+    assert [m.place for m in self_layers][:7] == ["down"] * 6 + ["mid"]
+    assert all(m.place == "up" for m in self_layers[7:])
+    # resolutions: down 64,64,32,32,16,16; mid 8; up 16,16,16,32,32,32,64,64,64
+    assert [m.res for m in self_layers] == [64, 64, 32, 32, 16, 16, 8,
+                                            16, 16, 16, 32, 32, 32, 64, 64, 64]
+
+
+def test_unet_forward_and_store(tiny_model):
+    model = tiny_model
+    z = jnp.zeros((2, 8, 8, 4))
+    ctx = jnp.zeros((2, 77, 32))
+    eps = model.apply_unet(z, 10, ctx)
+    assert eps.shape == (2, 8, 8, 4)
+
+    class StoreAll(AttnHooks):
+        def store(self, meta):
+            return meta.is_cross
+
+    eps2, store = model.apply_unet(z, 10, ctx, hooks=StoreAll(), collect_store=True)
+    # tiny config: cross layers = down_0 (1) + mid (1) + up_1 (2) = 4
+    assert len(store) == 4
+    for k, v in store.items():
+        assert v.ndim == 4 and v.shape[0] == 2 and v.shape[-1] == 77, (k, v.shape)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps2), rtol=1e-5, atol=1e-5)
+
+
+def test_vae_roundtrip_shapes(tiny_model, test_image):
+    z = tiny_model.vae_encode(jnp.asarray(test_image))
+    assert z.shape == (1, 8, 8, 4)
+    img = tiny_model.vae_decode(z)
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_text_encoder_causality(tiny_model):
+    """Changing a later token must not affect earlier hidden states (causal
+    mask), and the encoder must be deterministic."""
+    tok = tiny_model.tokenizer
+    ids1 = tok(["a cat sitting"])
+    ids2 = ids1.copy()
+    ids2[0, 10] = 7  # mutate a padding-region token
+    h1 = np.asarray(tiny_model.encode_text(ids1))
+    h2 = np.asarray(tiny_model.encode_text(ids2))
+    np.testing.assert_allclose(h1[0, :10], h2[0, :10], rtol=1e-5, atol=1e-5)
+    assert not np.allclose(h1[0, 10:], h2[0, 10:])
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer(vocab_size=1024)
+    ids = tok(["a cat", "a cat sitting next to a mirror"])
+    assert ids.shape == (2, 77)
+    assert ids[0, 0] == tok.bos_token_id
+    assert ids[0, 3] == tok.eos_token_id  # bos + 2 words + eos
+    assert (ids[0, 4:] == tok.pad_token_id).all()
+    # same word -> same id, stable across calls
+    assert tok.encode("cat") == tok.encode("cat")
+    assert tok.encode("a cat")[0] == tok.encode("a dog")[0]

@@ -1,0 +1,108 @@
+"""Scheduler math tests: table construction, DDIM invertibility, DDPM
+trajectory extraction, elementwise eta."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eta_inversion_tpu.schedulers import (
+    DiffusionSchedule,
+    ScheduleConfig,
+    ddim_backward_step,
+    ddim_inverse_step,
+    ddim_step,
+    ddpm_inverse_step,
+    sample_trajectory,
+)
+
+
+def make_schedule(steps=50):
+    return DiffusionSchedule(ScheduleConfig(), steps)
+
+
+def test_tables_match_diffusers_constants():
+    s = make_schedule()
+    # endpoints of the scaled_linear beta schedule used by SD
+    assert np.isclose(float(s.betas[0]), 0.00085, atol=1e-8)
+    assert np.isclose(float(s.betas[-1]), 0.012, atol=1e-8)
+    assert np.isclose(float(s.alphas_cumprod[0]), 1 - 0.00085, atol=1e-7)
+    # set_alpha_to_one=False -> final alpha is alphas_cumprod[0]
+    assert np.isclose(float(s.final_alpha_cumprod), float(s.alphas_cumprod[0]))
+    ts = s.timesteps_backward
+    assert ts[0] == 980 and ts[-1] == 0 and len(ts) == 50
+    fwd = s.timesteps_forward()
+    assert fwd[0] == 0 and fwd[-1] == 980
+    assert (s.timesteps_forward("shiftshift") == fwd - 20).all()
+
+
+def test_alpha_at_negative_t():
+    s = make_schedule()
+    assert np.isclose(float(s.alpha_at(-20)), float(s.final_alpha_cumprod))
+    assert np.isclose(float(s.alpha_at(5)), float(s.alphas_cumprod[5]))
+
+
+def test_ddim_roundtrip_exact_with_constant_eps():
+    """With the same eps used in both directions, DDIM inversion is the exact
+    inverse of the DDIM backward step."""
+    s = make_schedule(10)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    t = jnp.asarray(500)
+    # forward step t-100 -> t then backward t -> t-100
+    x_up = ddim_step(s, x, eps, t - 100, t)
+    x_rec = ddim_step(s, x_up, eps, t, t - 100)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), rtol=2e-5, atol=2e-5)
+
+
+def test_ddim_backward_matches_generic_step_eta0():
+    s = make_schedule(50)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.asarray(500)
+    a = ddim_backward_step(s, x, eps, t, eta=0.0)
+    b = ddim_step(s, x, eps, t, t - 20)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_ddim_backward_elementwise_eta():
+    """Per-pixel eta: zero-eta pixels must match the deterministic step even
+    when a noise tensor is supplied."""
+    s = make_schedule(50)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    t = jnp.asarray(500)
+    eta = jnp.zeros((1, 8, 8, 1)).at[:, :4].set(1.0)
+    out = ddim_backward_step(s, x, eps, t, eta=eta, noise=noise)
+    det = ddim_backward_step(s, x, eps, t, eta=0.0)
+    np.testing.assert_allclose(np.asarray(out[:, 4:]), np.asarray(det[:, 4:]),
+                               rtol=1e-6, atol=1e-6)
+    assert not np.allclose(np.asarray(out[:, :4]), np.asarray(det[:, :4]))
+
+
+def test_ddim_inverse_modes():
+    s = make_schedule(50)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    eps = jnp.zeros_like(x)
+    t = jnp.asarray(100)
+    a = ddim_inverse_step(s, x, eps, t, "sameshift")
+    b = ddim_inverse_step(s, x, eps, t, "samesame")
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_ddpm_trajectory_and_step():
+    s = make_schedule(10)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    xts = sample_trajectory(s, x0, jax.random.PRNGKey(1))
+    assert xts.shape == (11, 1, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(xts[-1]), np.asarray(x0))
+    # markovian variant
+    xts_m = sample_trajectory(s, x0, jax.random.PRNGKey(1), markovian=True)
+    assert xts_m.shape == (11, 1, 8, 8, 4)
+
+    # step: recorrected xtm1 must exactly reproduce the input xtm1
+    t = jnp.asarray(int(s.timesteps_backward[3]))
+    eps = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 4))
+    xtm1_new, z = ddpm_inverse_step(s, eps, t, xts[3], xts[4])
+    np.testing.assert_allclose(np.asarray(xtm1_new), np.asarray(xts[4]), rtol=1e-4, atol=1e-5)
