@@ -1,0 +1,81 @@
+"""Headline benchmark: 50-step eta-inversion + prompt-to-prompt edit, 512x512.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver north-star of < 2 s per edit per chip on v5e
+(BASELINE.md); vs_baseline = baseline_seconds / measured_seconds (>1 beats it).
+
+Runs the real flagship path on the attached TPU chip: SD-1.5 architecture
+(seeded random weights — no pretrained weights exist in this zero-egress
+environment; identical compute/shape profile), bf16 compute, Pallas flash
+attention for the 64x64 self-attention, the full functional ptp controller and
+eta-inversion candidate-noise selection.
+
+Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
+BENCH_CONFIG=etainv_ptp|diffinv_simple.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu import load_editor, load_inverter
+    from eta_inversion_tpu.models import load_diffusion_model
+
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    config = os.environ.get("BENCH_CONFIG", "etainv_ptp")
+
+    model, (pre, post) = load_diffusion_model("sd15", dtype="bfloat16")
+
+    rs = np.random.RandomState(0)
+    image = jnp.asarray(rs.rand(1, 512, 512, 3).astype("float32") * 2 - 1)
+    src = "a cat sitting next to a mirror"
+    tgt = "a tiger sitting next to a mirror"
+
+    if config == "etainv_ptp":
+        inverter = load_inverter(model, "etainv", num_inference_steps=steps,
+                                 eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=10)
+        editor = load_editor(inverter, "ptp")
+        cfg = dict(is_replace_controller=True, cross_replace_steps=0.8,
+                   self_replace_steps=0.5)
+        inv_cfg = {"edit_word_idx": (1, 1)}
+    else:
+        inverter = load_inverter(model, "diffinv", num_inference_steps=steps)
+        editor = load_editor(inverter, "simple")
+        cfg = None
+        inv_cfg = None
+
+    def run():
+        res = editor.edit(image, src, tgt, cfg=cfg, inv_cfg=inv_cfg)
+        # force full sync
+        return float(np.asarray(res["image"]).mean())
+
+    t0 = time.time()
+    m = run()
+    compile_s = time.time() - t0
+    print(f"# warmup (compile+run): {compile_s:.1f}s, mean={m:.5f}", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(repeats):
+        m = run()
+    per_edit = (time.time() - t0) / repeats
+
+    baseline_s = 2.0  # v5e target from BASELINE.md
+    print(json.dumps({
+        "metric": f"{config}_{steps}step_512px_s_per_edit",
+        "value": round(per_edit, 4),
+        "unit": "s/edit",
+        "vs_baseline": round(baseline_s / per_edit, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

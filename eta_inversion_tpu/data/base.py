@@ -1,0 +1,54 @@
+"""Dataset base classes (counterpart of /root/reference/dataset/base.py)."""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Dict, List, Optional, Type
+
+
+class DatasetBase:
+    def __init__(self) -> None:
+        self._iter_idx: Optional[int] = None
+
+    def __iter__(self):
+        self._iter_idx = 0
+        return self
+
+    def __next__(self):
+        if self._iter_idx >= len(self):
+            self._iter_idx = None
+            raise StopIteration
+        x = self[self._iter_idx]
+        self._iter_idx += 1
+        return x
+
+
+class DatasetSubset(DatasetBase):
+    """Shuffled/cut/index-selected subset (reference base.py:25-65)."""
+
+    def __init__(self, dataset_cls: Type[DatasetBase], length: Optional[int] = None,
+                 indices: Optional[List[int]] = None, shuffle: bool = True,
+                 seed: int = 0, **kwargs):
+        super().__init__()
+        self.dataset = dataset_cls(**kwargs)
+        self.length = length
+        if indices is None:
+            self.ind = list(range(len(self.dataset)))
+        else:
+            self.ind = list(indices)
+            self.length = len(self.ind)
+        if shuffle:
+            random.Random(seed).shuffle(self.ind)
+
+    @property
+    def skip_img_load(self):
+        return self.dataset.skip_img_load
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx) -> Dict[str, Any]:
+        return self.dataset[self.ind[idx]]
+
+    def __repr__(self) -> str:
+        return f"{self.dataset}_{self.length}"

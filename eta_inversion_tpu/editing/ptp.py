@@ -1,0 +1,456 @@
+"""Prompt-to-prompt editing (registry key "ptp") as functional attention hooks.
+
+Counterpart of /root/reference/modules/utils/ptp.py + ptp_utils.py +
+modules/editing/ptp_editor.py.  The reference's mutable AttentionControl
+callbacks (per-layer counters, step stores, monkey-patched forwards) become:
+
+  * `PtpHooks` — pure per-layer edits on materialized attention probabilities
+    (cross-attention replace/refine/reweight at every resolution, self-attention
+    replace below the 32^2 threshold), applied to the conditional half of the
+    CFG batch only (reference ptp.py:107-119);
+  * `PtpController` — scan-carried state: accumulated attention-map sums (for
+    LocalBlend and mask extraction), time-dependent cross-replace alphas, and
+    the LocalBlend latent blending in `end_step` (reference ptp.py:18-73);
+  * precomputed host-side numpy tables (word alphas, seq_aligner mappers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attn_ctrl import AttnHooks, AttnLayerMeta
+from . import seq_aligner
+from .controller import BatchLayout, Controller
+from .editor import ControllerBasedEditor
+
+MAX_NUM_WORDS = 77
+
+
+# ---------------------------------------------------------------------------
+# host-side alpha tables (reference ptp_utils.py:326-357)
+# ---------------------------------------------------------------------------
+
+def update_alpha_time_word(alpha: np.ndarray, bounds, prompt_ind: int,
+                           word_inds: Optional[np.ndarray] = None) -> np.ndarray:
+    if isinstance(bounds, float):
+        bounds = (0.0, bounds)
+    start, end = int(bounds[0] * alpha.shape[0]), int(bounds[1] * alpha.shape[0])
+    if word_inds is None:
+        word_inds = np.arange(alpha.shape[2])
+    alpha[:start, prompt_ind, word_inds] = 0
+    alpha[start:end, prompt_ind, word_inds] = 1
+    alpha[end:, prompt_ind, word_inds] = 0
+    return alpha
+
+
+def get_time_words_attention_alpha(prompts: Sequence[str], num_steps: int,
+                                   cross_replace_steps, tokenizer,
+                                   max_num_words: int = MAX_NUM_WORDS) -> np.ndarray:
+    if not isinstance(cross_replace_steps, dict):
+        cross_replace_steps = {"default_": cross_replace_steps}
+    if "default_" not in cross_replace_steps:
+        cross_replace_steps["default_"] = (0.0, 1.0)
+    alpha = np.zeros((num_steps + 1, len(prompts) - 1, max_num_words), dtype=np.float32)
+    for i in range(len(prompts) - 1):
+        alpha = update_alpha_time_word(alpha, cross_replace_steps["default_"], i)
+    for key, item in cross_replace_steps.items():
+        if key != "default_":
+            inds = [seq_aligner.get_word_inds(prompts[i], key, tokenizer)
+                    for i in range(1, len(prompts))]
+            for i, ind in enumerate(inds):
+                if len(ind) > 0:
+                    alpha = update_alpha_time_word(alpha, item, i, ind)
+    return alpha.reshape(num_steps + 1, len(prompts) - 1, 1, 1, max_num_words)
+
+
+def get_equalizer(text: str, word_select, values, tokenizer) -> np.ndarray:
+    if isinstance(word_select, (int, str)):
+        word_select = (word_select,)
+    eq = np.ones((1, MAX_NUM_WORDS), dtype=np.float32)
+    for word, val in zip(word_select, values):
+        inds = seq_aligner.get_word_inds(text, word, tokenizer)
+        eq[:, inds] = val
+    return eq
+
+
+# ---------------------------------------------------------------------------
+# store aggregation (reference ptp.py:288-303 aggregate_attention)
+# ---------------------------------------------------------------------------
+
+def store_keys_for(metas, res: int, places: Sequence[str], cross: bool = True) -> List[str]:
+    """Store keys (in forward layer order) matching resolution + places."""
+    flat = sorted((m for pair in metas.values() for m in pair), key=lambda m: m.idx)
+    return [m.store_key for m in flat
+            if m.is_cross == cross and m.res == res and m.place in places]
+
+
+def nearest_cross_res(metas, want: int, places: Sequence[str]) -> int:
+    """Closest resolution that has cross-attention layers in `places` (SD has
+    16x16; tiny test models may not)."""
+    avail = sorted({m.res for pair in metas.values() for m in pair
+                    if m.is_cross and m.place in places})
+    if want in avail:
+        return want
+    return min(avail, key=lambda r: abs(r - want))
+
+
+def aggregate_store(store: Dict[str, jnp.ndarray], keys: List[str], res: int,
+                    n_prompts: int, select: int) -> jnp.ndarray:
+    """Average stored maps over (layers, heads) -> (res, res, 77).  Works on
+    per-step maps or across-step sums (downstream consumers max-normalize)."""
+    maps = []
+    for k in keys:
+        m = store[k]  # (n*H, hw, 77) or (n, H, hw, 77)
+        if m.ndim == 3:
+            m = m.reshape(n_prompts, -1, res, res, m.shape[-1])
+        else:
+            m = m.reshape(n_prompts, -1, res, res, m.shape[-1])
+        maps.append(m[select])
+    out = jnp.concatenate(maps, axis=0)
+    return out.mean(axis=0)
+
+
+def attention_map_for_token(agg: jnp.ndarray, token_idx, resize: Optional[int] = 64
+                            ) -> jnp.ndarray:
+    """Normalized (and optionally bicubic-resized) map for one token channel
+    (reference ptp_editor.py:43-85 get_attention_map)."""
+    m = agg[..., token_idx] if isinstance(token_idx, int) else \
+        jnp.take(agg, token_idx, axis=-1)
+    m = m / jnp.maximum(m.max(), 1e-12)
+    if resize is not None and m.shape[-1] != resize:
+        m = jax.image.resize(m, (resize, resize), method="cubic")
+        m = jnp.clip(m, 0.0, 1.0)
+    return m
+
+
+def normalized_token_maps(agg: jnp.ndarray, resize: int = 64) -> jnp.ndarray:
+    """All-token version: (res, res, 77) -> (resize, resize, 77), each channel
+    max-normalized then bicubic-resized (used by eta-inversion's per-step
+    forward masks)."""
+    m = agg / jnp.maximum(agg.max(axis=(0, 1), keepdims=True), 1e-12)
+    if agg.shape[0] != resize:
+        m = jax.image.resize(m, (resize, resize, m.shape[-1]), method="cubic")
+        m = jnp.clip(m, 0.0, 1.0)
+    return m
+
+
+def max_pool_3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 same-padded max pool over the last two spatial dims of
+    (..., H, W) (LocalBlend's nnf.max_pool2d, reference ptp.py:24)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) * (x.ndim - 2) + (3, 3),
+        window_strides=(1,) * x.ndim,
+        padding=[(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)])
+
+
+# ---------------------------------------------------------------------------
+# hooks
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PtpHooks(AttnHooks):
+    """Per-step ptp attention intervention (pure; arrays are traced values)."""
+
+    layout: BatchLayout
+    mode: str  # "replace" | "refine" | "none"
+    alpha_i: Any  # (n_t, 1, 1, 77) cross-replace alpha for this step
+    self_gate: Any  # traced bool: self-replace active this step
+    mapper_mat: Any = None  # (n_t, 77, 77) for replace
+    mapper_idx: Any = None  # (n_t, 77) for refine
+    refine_alphas: Any = None  # (n_t, 77) for refine
+    equalizer: Any = None  # (1, 77) or None
+    attn_replace_thres: int = 32 * 32
+    store_keys: Tuple[str, ...] = ()
+    do_edit: bool = True
+
+    def wants_probs(self, meta: AttnLayerMeta) -> bool:
+        if not self.do_edit:
+            return False
+        if meta.is_cross:
+            return True
+        return meta.res * meta.res <= self.attn_replace_thres
+
+    def store(self, meta: AttnLayerMeta) -> bool:
+        return meta.store_key in self.store_keys
+
+    def replace_cross(self, base, repl):
+        """base: (H, hw, 77); repl: (n_t, H, hw, 77)."""
+        if self.mode == "replace":
+            new = jnp.einsum("hpw,bwn->bhpn", base, self.mapper_mat)
+        elif self.mode == "refine":
+            gathered = jnp.stack([jnp.take(base, idx, axis=-1)
+                                  for idx in self.mapper_idx], axis=0)
+            a = self.refine_alphas[:, None, None, :]
+            new = gathered * a + repl * (1 - a)
+        else:
+            new = repl
+        if self.equalizer is not None:
+            # reference AttentionReweight: scale the (possibly replaced) base
+            new = new * self.equalizer[:, None, None, :]
+        return new
+
+    def probs(self, meta: AttnLayerMeta, p):
+        if not self.do_edit:
+            return p
+        n = self.layout.cond_start
+        n_p = self.layout.n_prompts
+        if n_p < 2:
+            return p
+        cond = p[n:]
+        base, repl = cond[0], cond[1:]
+        if meta.is_cross:
+            a = self.alpha_i  # (n_t, 1, 1, 77)
+            new = self.replace_cross(base, repl)
+            new = new * a + (1 - a) * repl
+            return jnp.concatenate([p[: n + 1], new.astype(p.dtype)], axis=0)
+        if meta.res * meta.res <= self.attn_replace_thres:
+            new = jnp.broadcast_to(base[None], repl.shape)
+            new = jnp.where(self.self_gate, new, repl)
+            return jnp.concatenate([p[: n + 1], new.astype(p.dtype)], axis=0)
+        return p
+
+
+# ---------------------------------------------------------------------------
+# controllers
+# ---------------------------------------------------------------------------
+
+class PtpController(Controller):
+    """Full prompt-to-prompt edit controller (replace/refine [+reweight]
+    [+LocalBlend]), reference ptp.py:186-320 make_controller semantics."""
+
+    def __init__(self, engine, source_prompt: str, target_prompt: str,
+                 is_replace_controller: bool = True,
+                 cross_replace_steps: Union[float, Dict[str, Any]] = 0.8,
+                 self_replace_steps: Union[float, Tuple[float, float]] = 0.4,
+                 blend_words: Optional[Sequence[Sequence[str]]] = None,
+                 equilizer_params: Optional[Dict[str, Any]] = None,
+                 attn_replace_thres: Optional[int] = None,
+                 store_res: Optional[Tuple[int, ...]] = None,
+                 store_places: Tuple[str, ...] = ("down", "up")):
+        self.engine = engine
+        tokenizer = engine.model.tokenizer
+        prompts = [source_prompt, target_prompt]
+        S = engine.num_inference_steps
+        self.num_steps = S
+        self.prompts = prompts
+        self.attn_replace_thres = attn_replace_thres or 32 * 32
+
+        self.mode = "replace" if is_replace_controller else "refine"
+        self.cross_alpha = get_time_words_attention_alpha(
+            prompts, S, cross_replace_steps, tokenizer)  # (S+1, n_t, 1, 1, 77)
+        if isinstance(self_replace_steps, float):
+            self_replace_steps = (0.0, self_replace_steps)
+        self.self_range = (int(S * self_replace_steps[0]), int(S * self_replace_steps[1]))
+
+        if self.mode == "replace":
+            self.mapper_mat = seq_aligner.get_replacement_mapper(prompts, tokenizer)
+            self.mapper_idx = None
+            self.refine_alphas = None
+        else:
+            self.mapper_idx, self.refine_alphas = seq_aligner.get_refinement_mapper(
+                prompts, tokenizer)
+            self.mapper_mat = None
+
+        self.equalizer = None
+        if equilizer_params is not None:
+            self.equalizer = get_equalizer(prompts[1], equilizer_params["words"],
+                                           equilizer_params["values"], tokenizer)
+
+        # LocalBlend (reference ptp.py:18-73)
+        self.blend = None
+        if blend_words is not None:
+            alpha_layers = np.zeros((len(prompts), MAX_NUM_WORDS), dtype=np.float32)
+            for i, (prompt, words) in enumerate(zip(prompts, blend_words)):
+                if isinstance(words, str):
+                    words = [words]
+                for word in words:
+                    ind = seq_aligner.get_word_inds(prompt, word, tokenizer)
+                    alpha_layers[i, ind] = 1
+            self.blend = {
+                "alpha_layers": alpha_layers,
+                "start_blend": int(0.2 * S),
+                "th": (0.3, 0.3),
+            }
+
+        # store: cross maps at 16x16 from down+up (LocalBlend's layer set,
+        # reference ptp.py:37); small models fall back to the nearest
+        # resolution that has cross layers
+        metas = engine.model.attn_metas
+        if store_res is None:
+            want = max(engine.model.preset.unet.sample_size // 4, 1)
+            store_res = (nearest_cross_res(metas, want, store_places),)
+        self.store_keys = tuple(
+            k for res in store_res for k in store_keys_for(metas, res, store_places))
+        self.store_res = store_res
+        self.store_places = store_places
+
+    # -- protocol ------------------------------------------------------------
+
+    def static_key(self):
+        return ("ptp", self.mode, self.self_range, self.attn_replace_thres,
+                self.equalizer is not None,
+                None if self.blend is None else self.blend["start_blend"],
+                self.store_keys, self.num_steps)
+
+    def collect_store(self) -> bool:
+        return len(self.store_keys) > 0
+
+    def init_state(self, engine, latent, contexts):
+        heads = engine.model.preset.unet.num_heads
+        n = 2  # [source, target]
+        state: Dict[str, Any] = {
+            "cross_alpha": jnp.asarray(self.cross_alpha),
+            "store_sum": {
+                k: jnp.zeros((n, heads, int(k.split("_")[2]) ** 2, MAX_NUM_WORDS),
+                             jnp.float32)
+                for k in self.store_keys},
+        }
+        if self.mapper_mat is not None:
+            state["mapper_mat"] = jnp.asarray(self.mapper_mat)
+        if self.mapper_idx is not None:
+            state["mapper_idx"] = jnp.asarray(self.mapper_idx)
+            state["refine_alphas"] = jnp.asarray(self.refine_alphas)
+        if self.equalizer is not None:
+            state["equalizer"] = jnp.asarray(self.equalizer)
+        if self.blend is not None:
+            state["alpha_layers"] = jnp.asarray(self.blend["alpha_layers"])
+        return state
+
+    def hooks(self, i, state, layout: BatchLayout) -> AttnHooks:
+        lo, hi = self.self_range
+        return PtpHooks(
+            layout=layout,
+            mode=self.mode,
+            alpha_i=state["cross_alpha"][i],
+            self_gate=jnp.logical_and(i >= lo, i < hi),
+            mapper_mat=state.get("mapper_mat"),
+            mapper_idx=None if self.mapper_idx is None else
+            [state["mapper_idx"][k] for k in range(state["mapper_idx"].shape[0])],
+            refine_alphas=state.get("refine_alphas"),
+            equalizer=state.get("equalizer"),
+            attn_replace_thres=self.attn_replace_thres,
+            store_keys=self.store_keys,
+        )
+
+    def end_step(self, i, t, latent, eps, store, state):
+        state = dict(state)
+        if self.store_keys:
+            n = latent.shape[0]
+            sums = dict(state["store_sum"])
+            for k in self.store_keys:
+                m = store[k]  # (B, H, hw, 77); cond half only (reference
+                # AttentionControl.__call__ stores attn[h//2:], ptp.py:112-113)
+                cond = m[-n:]
+                sums[k] = sums[k] + cond.astype(jnp.float32)
+            state["store_sum"] = sums
+        if self.blend is not None:
+            latent = self._local_blend(i, latent, state)
+        return latent, state
+
+    def _local_blend(self, i, x_t, state):
+        """LocalBlend (reference ptp.py:20-47): build a word-attention mask at
+        16x16, pool, upsample, threshold, and blend non-masked regions back to
+        the source latent."""
+        b, h, w, c = x_t.shape
+        res = self.store_res[0]
+        maps = []
+        for k in self.store_keys:
+            if f"_{res}_" not in k:
+                continue
+            m = state["store_sum"][k]  # (n, H, hw, 77)
+            maps.append(m.reshape(b, -1, 1, res, res, MAX_NUM_WORDS))
+        maps = jnp.concatenate(maps, axis=1)
+        alpha = state["alpha_layers"][:, None, None, None, None, :]
+        mask = (maps * alpha).sum(-1).mean(1)  # (n, 1, 16, 16)
+        mask = max_pool_3x3(mask)
+        mask = jax.image.resize(mask, (b, 1, h, w), method="nearest")
+        mask = mask / jnp.maximum(mask.max(axis=(2, 3), keepdims=True), 1e-12)
+        mask = (mask > self.blend["th"][0])
+        mask = jnp.logical_or(mask[:1], mask).astype(x_t.dtype)
+        mask = mask.transpose(0, 2, 3, 1)  # NHWC
+        blended = x_t[:1] + mask * (x_t - x_t[:1])
+        # counter semantics: blend once step index exceeds start_blend
+        # (reference ptp.py:34-36 counts calls before comparing)
+        return jnp.where(i + 1 > self.blend["start_blend"], blended, x_t)
+
+
+class AttnStoreController(Controller):
+    """Accumulate cross-attention maps without editing (reference
+    PromptToPromptControllerAttentionStore, ptp_editor.py:132-145)."""
+
+    def __init__(self, engine, store_res: Tuple[int, ...] = (16,),
+                 store_places: Tuple[str, ...] = ("down", "up"),
+                 n_prompts: int = 1, per_step_maps: bool = False, resize: int = 64):
+        self.engine = engine
+        metas = engine.model.attn_metas
+        store_res = tuple(nearest_cross_res(metas, r, store_places) for r in store_res)
+        self.store_keys = tuple(
+            k for res in store_res for k in store_keys_for(metas, res, store_places))
+        self.store_res = store_res
+        self.n_prompts = n_prompts
+        self.per_step_maps = per_step_maps
+        self.resize = resize
+
+    def static_key(self):
+        return ("attnstore", self.store_keys, self.n_prompts, self.per_step_maps,
+                self.resize)
+
+    def collect_store(self) -> bool:
+        return True
+
+    def hooks(self, i, state, layout: BatchLayout) -> AttnHooks:
+        keys = self.store_keys
+
+        class _StoreHooks(AttnHooks):
+            def store(self, meta):
+                return meta.store_key in keys
+
+        return _StoreHooks()
+
+    def init_state(self, engine, latent, contexts):
+        heads = engine.model.preset.unet.num_heads
+        state = {
+            "store_sum": {
+                k: jnp.zeros((self.n_prompts, heads, int(k.split("_")[2]) ** 2,
+                              MAX_NUM_WORDS), jnp.float32)
+                for k in self.store_keys},
+            "count": jnp.zeros((), jnp.float32),
+        }
+        if self.per_step_maps:
+            # running sum of per-step normalized token maps (eta-inversion's
+            # forward "mean" masks, reference eta_inversion.py:36-49, 388-396)
+            state["norm_map_sum"] = jnp.zeros(
+                (self.resize, self.resize, MAX_NUM_WORDS), jnp.float32)
+        return state
+
+    def end_step(self, i, t, latent, eps, store, state):
+        state = dict(state)
+        sums = dict(state["store_sum"])
+        n = self.n_prompts
+        for k in self.store_keys:
+            m = store[k]
+            cond = m[-n:] if m.shape[0] > n else m
+            sums[k] = sums[k] + cond.astype(jnp.float32)
+        state["store_sum"] = sums
+        state["count"] = state["count"] + 1.0
+        if self.per_step_maps:
+            res = self.store_res[0]
+            agg = aggregate_store(sums, list(self.store_keys), res, n, 0)
+            state["norm_map_sum"] = state["norm_map_sum"] + \
+                normalized_token_maps(agg, self.resize)
+        return latent, state
+
+
+class PromptToPromptEditor(ControllerBasedEditor):
+    """Counterpart of reference PromptToPromptEditor (ptp_editor.py:148-157)."""
+
+    def make_controller(self, image, source_prompt, target_prompt, inv_res,
+                        **kwargs) -> Controller:
+        kwargs.pop("prompts", None)
+        return PtpController(self.inverter, source_prompt, target_prompt, **kwargs)

@@ -124,11 +124,21 @@ class DiffusionInversion:
         store: Dict[str, Any] = {}
 
         def unet(lat, ctx):
+            in_rows = getattr(hooks, "unet_in_rows", None) if hooks is not None else None
+            out_rows = getattr(hooks, "unet_out_rows", None) if hooks is not None else None
+            if in_rows is not None:
+                lat = lat[jnp.asarray(in_rows)]
+                ctx = ctx[jnp.asarray(in_rows)]
             if collect_store:
-                return self.model.unet.apply(
+                eps, vars_ = self.model.unet.apply(
                     {"params": params["unet"]}, lat, t, ctx, hooks,
                     mutable=["attn_store"])
-            return self.model.unet.apply({"params": params["unet"]}, lat, t, ctx, hooks), None
+            else:
+                eps = self.model.unet.apply({"params": params["unet"]}, lat, t, ctx, hooks)
+                vars_ = None
+            if out_rows is not None:
+                eps = eps[jnp.asarray(out_rows)]
+            return eps, vars_
 
         scalar_gs = (isinstance(guidance_scale, (int, float)) or guidance_scale is None) \
             and not force_full_cfg

@@ -56,7 +56,10 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None, inner_hook=None):
+        """`inner_hook` (h -> h) runs on the conv2 output *before* the residual
+        add — the site where plug-and-play injects source features
+        (/root/reference/modules/utils/pnp_utils.py:173-178)."""
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
@@ -71,6 +74,8 @@ class ResnetBlock(nn.Module):
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv2")(h)
+        if inner_hook is not None:
+            h = inner_hook(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h

@@ -145,10 +145,10 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
+                rmeta = ResnetMeta(up_i, j, x.shape[1])
+                inner = (lambda h, m=rmeta: hooks.resnet(m, h)) if hooks is not None else None
                 x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
-                                name=f"up_{up_i}_resnet_{j}")(x, temb)
-                if hooks is not None:
-                    x = hooks.resnet(ResnetMeta(up_i, j, x.shape[1]), x)
+                                name=f"up_{up_i}_resnet_{j}")(x, temb, inner_hook=inner)
                 if cfg.attn_down[stage]:
                     x = transformer(f"up_{up_i}_{j}", x, f"up_{up_i}_attn_{j}")
             if stage > 0:

@@ -74,7 +74,16 @@ class AttnHooks:
 
     Methods returning *static* decisions (`wants_probs`, `store`) must depend
     only on `meta` / Python config — never on traced values.
+
+    `unet_in_rows` / `unet_out_rows` (static row-index tuples or None) let a
+    controller restructure the UNet batch around the whole forward pass — the
+    functional equivalent of the reference's whole-UNet forward patches
+    (PnPUnetForward builds a 3-row [source, uncond, cond] batch and re-expands
+    the output, /root/reference/modules/utils/pnp.py:101-150).
     """
+
+    unet_in_rows = None
+    unet_out_rows = None
 
     def wants_probs(self, meta: AttnLayerMeta) -> bool:
         return False

@@ -1,0 +1,101 @@
+"""Benchmark evaluation driver (counterpart of /root/reference/eval.py).
+
+yaml config grid -> one experiment per (model, data, edit_cfg, method,
+edit_method) combination; writes result/{exp}/{NN_name}/{cfg.yaml, imgs/*.png}
+with per-sample resume (skip existing pngs) and whole-experiment skipping.
+
+Parallelism: on TPU, experiments run sequentially on the chip (each already
+batches work onto the device); `--num_hosts/--host_id` partition the grid
+across hosts (DCN level, no tensor traffic — replaces the reference's
+CUDA_VISIBLE_DEVICES process pool).
+"""
+
+import argparse
+import gc
+from pathlib import Path
+
+import yaml
+
+from eta_inversion_tpu.utils.debug_utils import enable_deterministic
+
+enable_deterministic()
+
+
+def run_eval(cfg, override=False, skip_existing_dirs=False):
+    import numpy as np
+    from PIL import Image
+
+    from eta_inversion_tpu import load_editor, load_inverter
+    from eta_inversion_tpu.models import load_diffusion_model
+    from eta_inversion_tpu.utils.eval_utils import EditResultData
+
+    path = Path(cfg["path"])
+    if path.exists() and skip_existing_dirs:
+        print(f"skipping existing {path}")
+        return
+    (path / "imgs").mkdir(parents=True, exist_ok=True)
+    with open(path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    data = EditResultData.from_state_dict(cfg, skip_existing=not override)
+
+    model = None
+    editor = None
+    for i in range(len(data)):
+        sample = data[i]
+        if sample is None:
+            continue  # resume: output exists
+        if model is None:
+            # lazy-load on first live sample (reference eval.py:71-82)
+            method = dict(cfg["method"])
+            edit_method = dict(cfg["edit_method"])
+            model_name = cfg.get("model") or "sd15"
+            model, (preproc, postproc) = load_diffusion_model(model_name)
+            inverter = load_inverter(model, method.pop("type"), **method)
+            editor = load_editor(inverter, edit_method.pop("type"), **edit_method)
+        gc.collect()
+
+        image = preproc(sample["image"])
+        edit_cfg = None
+        if cfg.get("edit_cfg") == "ptp_file" and sample["edit"].get("ptp"):
+            edit_cfg = dict(sample["edit"]["ptp"])
+        inv_cfg = {"edit_word_idx": sample.get("edit_word_idx"),
+                   "mask": sample.get("mask")}
+        res = editor.edit(image, sample["source_prompt"],
+                          sample["edit"]["target_prompt"], cfg=edit_cfg,
+                          inv_cfg=inv_cfg)
+        if res is None:
+            print(f"[{i}] combination unsupported, skipping")
+            continue
+        out = postproc(res["image"])
+        Image.fromarray(out).save(sample["edit_image_file"])
+        print(f"[{i}] saved {sample['edit_image_file']}")
+
+
+def main(args):
+    from eta_inversion_tpu.parallel.eval_pool import partition_grid
+    from eta_inversion_tpu.utils.eval_utils import create_configs
+
+    cfgs, cfg_all = create_configs(args.cfg)
+    cfgs = partition_grid(cfgs, args.host_id, args.num_hosts)
+    Path(cfg_all["path"]).mkdir(parents=True, exist_ok=True)
+    with open(Path(cfg_all["path"]) / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfg_all, f)
+
+    for cfg in cfgs:
+        print(f"=== {cfg['path']}")
+        run_eval(cfg, override=args.override,
+                 skip_existing_dirs=args.skip_existing_dirs)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Run an editing benchmark sweep")
+    parser.add_argument("--cfg", type=str, required=True,
+                        help="Eval config name (cfg/eval/{name}.yaml) or path")
+    parser.add_argument("--override", action="store_true",
+                        help="Recompute existing images")
+    parser.add_argument("--skip_existing_dirs", action="store_true",
+                        help="Skip whole experiment dirs that already exist")
+    parser.add_argument("--host_id", type=int, default=0)
+    parser.add_argument("--num_hosts", type=int, default=1)
+    main(parser.parse_args())

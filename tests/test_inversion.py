@@ -9,10 +9,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import functools
+
 from eta_inversion_tpu.inversion.base import DiffusionInversion
+from eta_inversion_tpu.inversion.ddpm import DDPMInversion
 from eta_inversion_tpu.inversion.direct import DirectInversion
+from eta_inversion_tpu.inversion.edict import EdictInversion
+from eta_inversion_tpu.inversion.eta import EtaInversion
 from eta_inversion_tpu.inversion.npi import NegativePromptInversion
+from eta_inversion_tpu.inversion.nti import NullTextInversion
 from eta_inversion_tpu.inversion.proxnpi import ProximalNegativePromptInversion
+from eta_inversion_tpu.inversion.regularized import RegularizedDiffusionInversion
 
 PROMPT = "a cat sitting next to a mirror"
 STEPS = 6
@@ -22,12 +29,25 @@ INVERTERS = {
     "npi": NegativePromptInversion,
     "proxnpi": ProximalNegativePromptInversion,
     "dirinv": DirectInversion,
+    "nti": functools.partial(NullTextInversion, num_inner_steps=3),
+    "edict": EdictInversion,
+    "ddpminv": DDPMInversion,
+    "cyclediff": functools.partial(DDPMInversion, markovian_forward=True),
+    "etainv": EtaInversion,
+    "regdiffinv": functools.partial(RegularizedDiffusionInversion,
+                                    num_reg_steps=2, num_ac_rolls=2),
 }
 
 
 def run_invert(name, model, image):
     inv = INVERTERS[name](model, num_inference_steps=STEPS)
-    res = inv.invert_sample(jnp.asarray(image), PROMPT)
+    if name == "etainv":
+        ctx = inv.create_context(PROMPT)
+        res = inv.invert(jnp.asarray(image), context=ctx,
+                         inv_cfg={"edit_word_idx": (1, 1)})
+        res = inv.sample(res, context=ctx)
+    else:
+        res = inv.invert_sample(jnp.asarray(image), PROMPT)
     return float(np.asarray(res["image"]).mean())
 
 
@@ -95,6 +115,67 @@ def test_multi_prompt_sample(tiny_model, test_image):
     out = inv.sample(res, context=[c1, c2])
     assert out["image"].shape == (2, 16, 16, 3)
     assert out["latent"].shape == (2, 8, 8, 4)
+
+
+def test_edict_exact_reconstruction(tiny_model, test_image):
+    """EDICT's affine-coupling steps are exactly invertible: single-prompt
+    invert+denoise must recover z0 to float precision."""
+    inv = EdictInversion(tiny_model, num_inference_steps=STEPS)
+    z0 = DiffusionInversion(tiny_model, num_inference_steps=STEPS).encode(
+        jnp.asarray(test_image))
+    ctx = inv.create_context(PROMPT)
+    res = inv.invert(jnp.asarray(test_image), context=ctx)
+    out = inv.sample(res, context=ctx)
+    rec = np.asarray(out["latent"][0])  # x component of the pair
+    np.testing.assert_allclose(rec, np.asarray(z0), rtol=1e-2, atol=1e-3)
+
+
+def test_ddpminv_skip_and_shapes(tiny_model, test_image):
+    inv = DDPMInversion(tiny_model, num_inference_steps=STEPS)
+    res = inv.invert(jnp.asarray(test_image), PROMPT)
+    S = STEPS
+    assert res["latents"].shape[0] == S + 1
+    assert res["variance_noises"].shape[0] == S
+    # first (t=min) noisemap zeroed (reference ddpm_inversion.py:104-105)
+    assert float(jnp.abs(res["variance_noises"][0]).max()) == 0.0
+    skip = inv.get_bwd_skip()
+    assert skip == int(0.36 * S)
+    assert len(inv.backward_timesteps(res)) == S - skip
+    # trajectory replay: single-prompt reconstruction ends at the recorded
+    # (corrected) latent... run full sample for smoke
+    out = inv.invert_sample(jnp.asarray(test_image), PROMPT)
+    assert out["image"].shape == (1, 16, 16, 3)
+
+
+def test_etainv_requires_word_idx(tiny_model, test_image):
+    inv = EtaInversion(tiny_model, num_inference_steps=STEPS)
+    assert inv.invert(jnp.asarray(test_image), PROMPT, inv_cfg={}) is None
+    res = inv.invert(jnp.asarray(test_image), PROMPT,
+                     inv_cfg={"edit_word_idx": (1, 1)})
+    assert res["fwd_token_maps"].shape == (8, 8, 77)
+    maps = np.asarray(res["fwd_token_maps"])
+    assert maps.min() >= 0 and maps.max() <= 1.0 + 1e-6
+
+
+def test_etainv_eta_table():
+    from eta_inversion_tpu.inversion.eta import build_eta_table
+
+    t = build_eta_table((0.0, 0.4))
+    assert t.shape == (1000,) and t[0] == 0 and abs(t[-1] - 0.4) < 1e-6
+    # paper config: piecewise-linear ramp [[0.6, 0], [1, 0.7]]
+    t2 = build_eta_table(((0.6, 0.0), (1.0, 0.7)))
+    assert t2[0] == 0 and t2[599] == 0 and t2[-1] == pytest.approx(0.7, abs=1e-3)
+    assert t2[800] == pytest.approx(0.35, abs=2e-3)
+
+
+def test_nti_optimizes_uncond(tiny_model, test_image):
+    inv = NullTextInversion(tiny_model, num_inference_steps=STEPS, num_inner_steps=2)
+    res = inv.invert(jnp.asarray(test_image), PROMPT)
+    ue = res["uncond_embeddings"]
+    assert ue.shape == (STEPS, 1, 77, 32)
+    n = res["context"].shape[0] // 2
+    # must differ from the initial uncond embedding (optimization happened)
+    assert not np.allclose(np.asarray(ue[-1]), np.asarray(res["context"][:n]))
 
 
 def test_ddpm_scheduler_backward_stochastic_but_seeded(tiny_model, test_image):
