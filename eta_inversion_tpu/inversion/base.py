@@ -29,6 +29,12 @@ from ..schedulers import (
     ddim_backward_step,
     ddim_inverse_step,
 )
+from ..schedulers.dpm import (
+    dpm_init_state,
+    dpm_step,
+    dpm_timesteps_backward,
+    dpm_timesteps_forward,
+)
 
 _COMPILE_CACHE: Dict[Any, Any] = {}
 
@@ -57,6 +63,10 @@ class DiffusionInversion:
         self.eta_bwd = 1.0 if self.scheduler_name == "ddpm" else 0.0
         if self.scheduler_name not in ("ddim", "ddpm", "dpm"):
             raise ValueError(f"unknown scheduler {self.scheduler_name}")
+        if self.scheduler_name == "dpm" and self.inv_steps == "sameshift":
+            # the reference's DPM inverse defaults to "samesame"
+            # (scheduling_dpmsolver_multistep_inverse.py:16-24)
+            self.inv_steps = "samesame"
 
     # ------------------------------------------------------------------ config
 
@@ -191,9 +201,11 @@ class DiffusionInversion:
                                         hooks=ctrl.hooks(i, state, layout),
                                         collect_store=ctrl.collect_store(),
                                         is_fwd=True, inp=inp)
-        new_latent = self.step_forward(eps, t, latent, inp, krng)
+        new_latent, sched_upd = self._apply_scheduler_step(True, carry, eps, t,
+                                                           latent, inp, krng)
         new_latent, state = ctrl.end_step(i, t, new_latent, eps, store, state)
-        carry = {**carry, "latent": new_latent, "state": state, "rng": rng}
+        carry = {**carry, **sched_upd, "latent": new_latent, "state": state,
+                 "rng": rng}
         return carry, {"latent": new_latent, "eps": eps}
 
     def predict_step_backward(self, params, carry, inp, context, ctrl: Controller,
@@ -214,9 +226,11 @@ class DiffusionInversion:
                                         self.guidance_scale_bwd,
                                         hooks=ctrl.hooks(i, state, layout),
                                         collect_store=ctrl.collect_store(), inp=inp)
-        new_latent = self.step_backward(eps, t, latent, inp, krng)
+        new_latent, sched_upd = self._apply_scheduler_step(False, carry, eps, t,
+                                                           latent, inp, krng)
         new_latent, state = ctrl.end_step(i, t, new_latent, eps, store, state)
-        carry = {**carry, "latent": new_latent, "state": state, "rng": rng}
+        carry = {**carry, **sched_upd, "latent": new_latent, "state": state,
+                 "rng": rng}
         return carry, {"latent": new_latent, "eps": eps}
 
     # extra per-step scanned arrays / extra carry entries (subclass hooks)
@@ -232,7 +246,43 @@ class DiffusionInversion:
 
     def backward_timesteps(self, inv_result: Dict[str, Any]) -> np.ndarray:
         """Denoising timestep grid (subclasses may skip early steps)."""
+        if self.scheduler_name == "dpm":
+            return dpm_timesteps_backward(self.schedule)
         return self.schedule.timesteps_backward
+
+    def forward_timesteps(self) -> np.ndarray:
+        """Inversion timestep grid."""
+        if self.scheduler_name == "dpm":
+            return dpm_timesteps_forward(self.schedule, self.inv_steps)
+        return self.schedule.timesteps_forward(self.inv_steps)
+
+    # ---------------------------------------------------------- dpm plumbing
+
+    def _dpm_scan_extras(self, ts: np.ndarray, is_fwd: bool) -> Dict[str, jnp.ndarray]:
+        """Per-step prev-timestep targets + order-ramp flags for dpm."""
+        S = len(ts)
+        if is_fwd:
+            noisiest = self.schedule.config.num_train_timesteps - 1
+            prev = np.concatenate([ts[1:], [noisiest]]).astype(np.int32)
+        else:
+            # denoise: target is the next (smaller) grid point; last -> 0-sigma
+            prev = np.concatenate([ts[1:], [0]]).astype(np.int32)
+        is_last = np.zeros(S, bool)
+        is_last[-1] = True
+        return {"dpm_prev_t": jnp.asarray(prev),
+                "dpm_is_last": jnp.asarray(is_last)}
+
+    def _apply_scheduler_step(self, is_fwd: bool, carry, eps, t, latent, inp, rng):
+        """Dispatch ddim-family vs dpm multistep; returns (latent, carry_upd)."""
+        if self.scheduler_name == "dpm":
+            state = {k: carry[k] for k in ("dpm_m_prev", "dpm_t_prev", "dpm_low")}
+            new_latent, new_state = dpm_step(
+                self.schedule, state, latent, eps, t, inp["dpm_prev_t"],
+                inp["dpm_is_last"], False)
+            return new_latent, new_state
+        if is_fwd:
+            return self.step_forward(eps, t, latent, inp, rng), {}
+        return self.step_backward(eps, t, latent, inp, rng), {}
 
     # ------------------------------------------------------------- main loops
 
@@ -247,12 +297,14 @@ class DiffusionInversion:
         gs = self.guidance_scale_fwd if guidance_scale_fwd is None else guidance_scale_fwd
         n_prompts = context.shape[0] // 2
         layout = self._layout(n_prompts, gs)
-        ts = self.schedule.timesteps_forward(self.inv_steps)
+        ts = self.forward_timesteps()
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
 
         def fn(params, latent, context, extras, state0, rng):
             inputs = {"i": jnp.arange(len(ts)), "t": jnp.asarray(ts), **extras}
             carry0 = {"latent": latent, "state": state0, "rng": rng}
+            if self.scheduler_name == "dpm":
+                carry0.update(dpm_init_state(latent.shape, latent.dtype))
 
             def body(carry, inp):
                 return self.predict_step_forward(params, carry, inp, context, ctrl,
@@ -265,6 +317,8 @@ class DiffusionInversion:
                     "state": carry["state"]}
 
         extras = self.forward_scan_extras(latent, context)
+        if self.scheduler_name == "dpm":
+            extras = {**extras, **self._dpm_scan_extras(ts, is_fwd=True)}
         state0 = ctrl.init_state(self, latent, context)
         jfn = self._cached("fwd", (gs, latent.shape, context.shape,
                                    ctrl.static_key(), layout), fn)
@@ -283,6 +337,8 @@ class DiffusionInversion:
         def fn(params, latent, context, extras, carry_extras, state0, rng):
             inputs = {"i": jnp.arange(len(ts)), "t": jnp.asarray(ts), **extras}
             carry0 = {"latent": latent, "state": state0, "rng": rng, **carry_extras}
+            if self.scheduler_name == "dpm":
+                carry0.update(dpm_init_state(latent.shape, latent.dtype))
 
             def body(carry, inp):
                 carry, _ = self.predict_step_backward(params, carry, inp, context,
@@ -293,6 +349,8 @@ class DiffusionInversion:
             return carry["latent"]
 
         extras = self.backward_scan_extras(inv_result, n_prompts)
+        if self.scheduler_name == "dpm":
+            extras = {**extras, **self._dpm_scan_extras(ts, is_fwd=False)}
         carry_extras = self.backward_carry_extras(inv_result)
         state0 = ctrl.init_state(self, latent, context)
         jfn = self._cached("bwd", (latent.shape, context.shape,

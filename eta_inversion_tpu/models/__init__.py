@@ -210,6 +210,16 @@ class StablePreprocess:
         else:
             img = image.convert("RGB")
 
+        if not self.pil_resize:
+            # native fused crop+area-resize+normalize path (cv2-equivalent;
+            # eta_inversion_tpu/native.py -> native/imageproc.cpp)
+            from .. import native
+
+            out = native.preprocess_image(np.asarray(img), self.size,
+                                          self.center_crop)
+            if out is not None:
+                return out
+
         if self.center_crop:
             w, h = img.size
             side = min(w, h)

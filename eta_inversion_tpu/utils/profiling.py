@@ -1,0 +1,58 @@
+"""Tracing / profiling (SURVEY.md §5.1 rebuild note: first-class profiling
+replacing the reference's ad-hoc wall-clock prints, edit_image.py:113-130).
+
+`phase_timer` records per-phase wall times (with device sync);
+`trace` wraps `jax.profiler` to dump an XPlane trace viewable in
+TensorBoard/XProf.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+
+class PhaseTimer:
+    """Accumulates wall-clock per named phase; blocks on device completion so
+    times reflect actual compute, not dispatch."""
+
+    def __init__(self):
+        self.times: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                try:
+                    import jax
+
+                    jax.block_until_ready(sync)
+                except Exception:
+                    pass
+            dt = time.perf_counter() - t0
+            self.times[name] = self.times.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> str:
+        lines = []
+        for name, t in sorted(self.times.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:30s} {t:8.3f}s total  {t / n * 1000:8.1f}ms/call  x{n}")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str] = "/tmp/jax-trace"):
+    """jax.profiler trace context (open with TensorBoard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()

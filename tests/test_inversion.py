@@ -117,6 +117,19 @@ def test_multi_prompt_sample(tiny_model, test_image):
     assert out["latent"].shape == (2, 8, 8, 4)
 
 
+def test_dpm_scheduler_end_to_end(tiny_model, test_image):
+    """diffinv with the dpm multistep scheduler: full invert+sample runs,
+    deterministic, and differs from the ddim path."""
+    inv = DiffusionInversion(tiny_model, scheduler="dpm", num_inference_steps=STEPS)
+    assert inv.inv_steps == "samesame"  # dpm default (reference :16-24)
+    a = inv.invert_sample(jnp.asarray(test_image), PROMPT)
+    b = inv.invert_sample(jnp.asarray(test_image), PROMPT)
+    np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+    ddim = DiffusionInversion(tiny_model, num_inference_steps=STEPS)
+    c = ddim.invert_sample(jnp.asarray(test_image), PROMPT)
+    assert not np.allclose(np.asarray(a["image"]), np.asarray(c["image"]))
+
+
 def test_edict_exact_reconstruction(tiny_model, test_image):
     """EDICT's affine-coupling steps are exactly invertible: single-prompt
     invert+denoise must recover z0 to float precision."""

@@ -91,6 +91,51 @@ def test_ddim_inverse_modes():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_dpm_timestep_grids():
+    from eta_inversion_tpu.schedulers.dpm import (
+        dpm_timesteps_backward,
+        dpm_timesteps_forward,
+    )
+
+    s = make_schedule(50)
+    bwd = dpm_timesteps_backward(s)
+    assert bwd[0] == 999 and bwd[-1] == 20 and len(bwd) == 50
+    # inverse grid starts at 0 (reference assert, ..._inverse.py:60)
+    fwd = dpm_timesteps_forward(s)
+    assert fwd[0] == 0 and fwd[-1] == 979 and len(fwd) == 50
+    fwd2 = dpm_timesteps_forward(s, "shiftshift")
+    assert fwd2[0] == -20 and fwd2[-1] == 959
+
+
+def test_dpm_first_step_is_first_order():
+    """With empty multistep state the update must equal the closed-form
+    first-order dpmsolver++ step."""
+    from eta_inversion_tpu.schedulers.dpm import (
+        convert_eps_to_x0,
+        dpm_init_state,
+        dpm_step,
+    )
+
+    s = make_schedule(10)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    t, prev_t = jnp.asarray(999), jnp.asarray(899)
+    state = dpm_init_state(x.shape)
+    out, new_state = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                              False)
+
+    a_p = jnp.sqrt(s.alpha_at(prev_t))
+    sg_p = jnp.sqrt(1 - s.alpha_at(prev_t))
+    sg_t = jnp.sqrt(1 - s.alpha_at(t))
+    lam = lambda tt: jnp.log(jnp.sqrt(s.alpha_at(tt))) - jnp.log(jnp.sqrt(1 - s.alpha_at(tt)))
+    h = lam(prev_t) - lam(t)
+    x0 = convert_eps_to_x0(s, x, eps, t)
+    expected = (sg_p / sg_t) * x - a_p * (jnp.exp(-h) - 1) * x0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5)
+    assert int(new_state["dpm_low"]) == 1
+    np.testing.assert_allclose(np.asarray(new_state["dpm_m_prev"]), np.asarray(x0))
+
+
 def test_ddpm_trajectory_and_step():
     s = make_schedule(10)
     x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
