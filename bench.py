@@ -26,6 +26,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip the (very slow,
+    # remote-tunneled) SD-scale compiles
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE",
+                               "/root/repo/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     from eta_inversion_tpu import load_editor, load_inverter
     from eta_inversion_tpu.models import load_diffusion_model
 

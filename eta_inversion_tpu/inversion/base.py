@@ -395,6 +395,19 @@ class DiffusionInversion:
         inv_res = self.invert(image, context=context, rng=rng)
         return self.sample(inv_res, context=context, rng=rng)
 
+    def generate(self, prompt: Optional[str] = None, context=None, rng=None,
+                 batch: int = 1) -> Dict[str, Any]:
+        """Text-to-image: denoise from pure noise (used e.g. to materialize the
+        fake-ti2i benchmark images, reference scripts/
+        convert_plug_and_play_imagenetr-fake-ti2i.py)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed)
+        rng, knoise = jax.random.split(rng)
+        s = self.model.latent_size
+        zT = jax.random.normal(knoise, (batch, s, s, self.model.latent_channels),
+                               jnp.float32)
+        return self.sample({"latents": zT[None]}, prompt=prompt, context=context,
+                           rng=rng)
+
     # ------------------------------------------------------------------- jit
 
     def _cached(self, tag: str, extra_key: Tuple, fn):

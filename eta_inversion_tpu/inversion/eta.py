@@ -179,14 +179,57 @@ class EtaInversion(DiffusionInversion):
             widx = inv_cfg["edit_word_idx"][0]
             mask = attention_map_for_token(inv_result["fwd_token_maps"],
                                            int(widx) + 1, resize=None)
+        elif mode.startswith("bwd"):
+            return None  # computed per step inside the scan (_bwd_mask)
         else:
-            raise NotImplementedError(
-                f"mask mode {mode!r} not yet supported (bwd_* modes pending)")
+            raise NotImplementedError(f"unknown mask mode {mode!r}")
+        return self._finish_mask(mask, size)
+
+    def _finish_mask(self, mask, size):
+        mm = self.mask_mode_cfg
         if mm["thres"] is not None:
             mask = (mask > mm["thres"]).astype(jnp.float32)
         if mm["pow"] is not None:
             mask = jnp.power(mask, mm["pow"])
         return mask.reshape(1, size, size, 1)
+
+    def _bwd_mask(self, key, ctrl, state, store, latent, widx_pair):
+        """Masks from the *backward* controller's accumulated attention store,
+        including the current step's maps (reference mask modes bwd_source /
+        bwd_target / bwd_source_target, eta_inversion.py:176-183; requires a
+        store-carrying controller such as ptp)."""
+        mode = self.mask_mode_cfg[key]
+        size = self.model.latent_size
+        n = latent.shape[0]
+        keys = [k for k in getattr(ctrl, "store_keys", ())
+                if f"_{self._attn_res()}_" in k]
+        if not keys:
+            raise ValueError(
+                f"mask mode {mode!r} needs a controller with attention stores "
+                f"at res {self._attn_res()} (e.g. ptp)")
+        merged = {k: state["store_sum"][k] + store[k][-n:].astype(jnp.float32)
+                  for k in keys}
+        res = self._attn_res()
+
+        def token_mask(select, widx):
+            # widx is a traced int array (per-sample word index)
+            agg = aggregate_store(merged, keys, res, n, select)
+            return attention_map_for_token(agg, widx + 1, resize=size)
+
+        if mode == "bwd_source":
+            mask = token_mask(0, widx_pair[0])
+        elif mode == "bwd_target":
+            mask = token_mask(1, widx_pair[1])
+        elif mode == "bwd_source_target":
+            mask = jnp.maximum(token_mask(0, widx_pair[0]),
+                               token_mask(1, widx_pair[1]))
+        else:
+            raise NotImplementedError(mode)
+        return self._finish_mask(mask, size)
+
+    def _mask_mode_is_bwd(self, key) -> bool:
+        mode = self.mask_mode_cfg[key] if self.mask_mode_cfg else None
+        return isinstance(mode, str) and mode.startswith("bwd")
 
     def backward_carry_extras(self, inv_result):
         extras = dict(super().backward_carry_extras(inv_result))
@@ -197,6 +240,10 @@ class EtaInversion(DiffusionInversion):
                 extras["mask_eta"] = me
             if md is not None:
                 extras["mask_dirinv"] = md
+            if self._mask_mode_is_bwd("mask_eta") or self._mask_mode_is_bwd("mask_dirinv"):
+                widx = (inv_result.get("inv_cfg") or {}).get("edit_word_idx")
+                extras["edit_word_idx"] = jnp.asarray(
+                    [int(widx[0]), int(widx[1])], jnp.int32)
         return extras
 
     def predict_step_backward(self, params, carry, inp, context, ctrl, layout):
@@ -223,8 +270,12 @@ class EtaInversion(DiffusionInversion):
         vn = noises[jnp.argmin(losses)]
 
         eta_map = eta_t
-        if self.mask_mode_cfg is not None and "mask_eta" in carry:
-            eta_map = carry["mask_eta"] * eta_t
+        mask_eta = carry.get("mask_eta")
+        if self._mask_mode_is_bwd("mask_eta"):
+            mask_eta = self._bwd_mask("mask_eta", ctrl, state, store, latent,
+                                      carry["edit_word_idx"])
+        if self.mask_mode_cfg is not None and mask_eta is not None:
+            eta_map = mask_eta * eta_t
 
         new_latent = ddim_backward_step(self.schedule, latent, eps, t,
                                         eta=eta_map, noise=vn)
@@ -234,8 +285,12 @@ class EtaInversion(DiffusionInversion):
         if self.mask_mode_cfg is not None and \
                 self.mask_mode_cfg.get("target_dirinv") is not None:
             d = delta
-            if "mask_dirinv" in carry:
-                d = (1.0 - carry["mask_dirinv"]) * d
+            mask_dirinv = carry.get("mask_dirinv")
+            if self._mask_mode_is_bwd("mask_dirinv"):
+                mask_dirinv = self._bwd_mask("mask_dirinv", ctrl, state, store,
+                                             latent, carry["edit_word_idx"])
+            if mask_dirinv is not None:
+                d = (1.0 - mask_dirinv) * d
             rest = rest + self.mask_mode_cfg["target_dirinv"] * d
         new_latent = jnp.concatenate([src_prev, rest], axis=0)
 

@@ -72,6 +72,10 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int
             pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            # both grid dims are independent -> spread across the 2 megacores
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d,
             bytes_accessed=(bh * sq * d * 2 + bh * sk * d * 2) * q.dtype.itemsize,

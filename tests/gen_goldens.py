@@ -43,7 +43,12 @@ def main():
             val = te.run_edit(name, model, image)
             if val is not None:
                 goldens[f"edit_{name}"] = val
-                print(f"edit_{name}: {val}")
+                print(f"edit_{name}: {val}", flush=True)
+        for inverter, editor in te.GRID:
+            val = te.run_edit(editor, model, image, inverter)
+            if val is not None:
+                goldens[f"grid_{inverter}_{editor}"] = val
+                print(f"grid_{inverter}_{editor}: {val}", flush=True)
     except ImportError:
         pass
 

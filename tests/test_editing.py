@@ -20,8 +20,15 @@ PTP_CFG = {
 }
 
 
+INV_TEST_KWARGS = {
+    "nti": {"num_inner_steps": 2},
+    "regdiffinv": {"num_reg_steps": 1, "num_ac_rolls": 2},
+}
+
+
 def run_edit(editor_name, model, image, inverter_name="diffinv"):
-    inv = load_inverter(model, inverter_name, num_inference_steps=STEPS)
+    inv = load_inverter(model, inverter_name, num_inference_steps=STEPS,
+                        **INV_TEST_KWARGS.get(inverter_name, {}))
     editor = load_editor(inv, editor_name)
     cfg = dict(PTP_CFG) if editor_name == "ptp" else None
     inv_cfg = {"edit_word_idx": (1, 1)} if inverter_name == "etainv" else None
@@ -89,6 +96,35 @@ def test_pnp_source_branch_unconditional(tiny_model, test_image):
     assert res is not None
 
 
+def test_fake_edit_uses_gt_latent(tiny_model, test_image):
+    """fake_edit skips inversion and denoises from a provided zT
+    (reference editor.py:86-91; used by imagenetr-fake-ti2i)."""
+    import jax
+
+    from eta_inversion_tpu import load_editor, load_inverter
+
+    inv = load_inverter(tiny_model, "diffinv", num_inference_steps=STEPS)
+    editor = load_editor(inv, "ptp", fake_edit=True)
+    zT = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    res = editor.edit(None, SRC, TGT, cfg={**PTP_CFG, "zT_gt": zT})
+    assert res is not None and res["image"].shape == (1, 16, 16, 3)
+
+
+def test_generate_text_to_image(tiny_model):
+    import jax
+    import numpy as np
+
+    from eta_inversion_tpu import load_inverter
+
+    inv = load_inverter(tiny_model, "diffinv", num_inference_steps=STEPS)
+    a = inv.generate("a cat", rng=jax.random.PRNGKey(3))
+    b = inv.generate("a cat", rng=jax.random.PRNGKey(3))
+    c = inv.generate("a cat", rng=jax.random.PRNGKey(4))
+    assert a["image"].shape == (1, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+    assert not np.allclose(np.asarray(a["image"]), np.asarray(c["image"]))
+
+
 def test_pix2pix_zero_incompatible_combos(tiny_model, test_image):
     assert run_edit("pix2pix_zero", tiny_model, test_image, "dirinv") is None
     assert run_edit("pix2pix_zero", tiny_model, test_image, "etainv") is None
@@ -98,3 +134,47 @@ def test_editor_with_other_inverters(tiny_model, test_image):
     for inverter in ["npi", "ddpminv"]:
         val = run_edit("ptp", tiny_model, test_image, inverter)
         assert val is not None and np.isfinite(val), inverter
+
+
+# cross-method grid: combinations exercising unique composition paths
+# (reference test_edit.py runs the full 8x5 grid; these are the seams)
+GRID = [
+    ("edict", "ptp"),       # per-pair-slot controller state in the edict scan
+    ("edict", "simple"),
+    ("nti", "ptp"),         # per-step optimized uncond + attention edits
+    ("etainv", "ptp"),      # the paper's headline combination
+    ("cyclediff", "simple"),
+    ("regdiffinv", "simple"),
+    ("ddpminv", "masactrl"),
+    ("npi", "pnp"),
+    ("dirinv", "invedit"),
+]
+
+
+def test_etainv_bwd_mask_modes(tiny_model, test_image):
+    """bwd_* eta masks come from the live ptp controller's accumulated
+    attention store (reference eta_inversion.py:176-183)."""
+    from eta_inversion_tpu import load_editor, load_inverter
+
+    inv = load_inverter(
+        tiny_model, "etainv", num_inference_steps=STEPS,
+        mask_mode_cfg={"mask_eta": "bwd_source", "mask_dirinv": "bwd_target",
+                       "target_dirinv": 0.5, "attn_res": 8})
+    editor = load_editor(inv, "ptp")
+    res = editor.edit(jnp.asarray(test_image), SRC, TGT, cfg=dict(PTP_CFG),
+                      inv_cfg={"edit_word_idx": (1, 1)})
+    assert res is not None
+    val = float(np.asarray(res["image"]).mean())
+    assert np.isfinite(val)
+    # differs from the default fwd_mean configuration
+    base = run_edit("ptp", tiny_model, test_image, "etainv")
+    assert val != base
+
+
+@pytest.mark.parametrize("inverter,editor", GRID)
+def test_cross_method_grid(inverter, editor, tiny_model, test_image, goldens):
+    val = run_edit(editor, tiny_model, test_image, inverter)
+    assert val is not None and np.isfinite(val), (inverter, editor)
+    key = f"grid_{inverter}_{editor}"
+    if key in goldens:
+        assert val == pytest.approx(goldens[key], abs=1e-4)

@@ -69,6 +69,38 @@ def test_text_encoder_causality(tiny_model):
     assert not np.allclose(h1[0, 10:], h2[0, 10:])
 
 
+def test_clip_bpe_tokenizer_with_synthetic_vocab(tmp_path):
+    """Exercise the real BPE path with a miniature vocab/merges pair."""
+    import json
+
+    from eta_inversion_tpu.models.tokenizer import ClipBpeTokenizer
+
+    # byte-level alphabet + a few merges building "cat</w>" and "at</w>"
+    vocab = {}
+    for ch in "abcdefghijklmnopqrstuvwxyz ":
+        vocab[ch] = len(vocab)
+    for tok in ["t</w>", "at</w>", "cat</w>", "a</w>", "ca"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = ["t </w>", "a t</w>", "c at</w>", "a </w>", "c a"]
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version\n" + "\n".join(merges) + "\n")
+
+    tok = ClipBpeTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    ids = tok.encode("a cat")
+    # "a" -> a</w>; "cat" -> merges to cat</w>
+    assert ids == [vocab["a</w>"], vocab["cat</w>"]]
+    assert tok.decode(ids) == "a cat"
+    batch = tok(["A Cat"])  # lowercasing + whitespace cleanup
+    assert batch[0, 0] == tok.bos_token_id
+    assert list(batch[0, 1:3]) == ids
+    assert batch[0, 3] == tok.eos_token_id
+    # unknown-word path: "bat" falls back through merges ("at</w>" exists)
+    ids2 = tok.encode("bat")
+    assert ids2 == [vocab["b"], vocab["at</w>"]]
+
+
 def test_hash_tokenizer_contract():
     tok = HashTokenizer(vocab_size=1024)
     ids = tok(["a cat", "a cat sitting next to a mirror"])
