@@ -80,8 +80,9 @@ class Pix2PixZeroEditor(Editor):
         from ..inversion.edict import EdictInversion
         from ..inversion.eta import EtaInversion
 
-        if isinstance(self.inverter, (DirectInversion, EtaInversion, EdictInversion)):
-            return None
+        if isinstance(self.inverter, (DirectInversion, EtaInversion)):
+            return None  # incompatible (reference :300-301)
+        is_edict = isinstance(self.inverter, EdictInversion)
         cfg = dict(cfg or {})
         caption = cfg.pop("caption", None)
         assert not cfg
@@ -98,7 +99,10 @@ class Pix2PixZeroEditor(Editor):
         if inv_res is None:
             return None
 
-        z0 = self._joint_backward(inv_res, src_context, target_context)
+        if is_edict:
+            z0 = self._joint_backward_edict(inv_res, src_context, target_context)
+        else:
+            z0 = self._joint_backward(inv_res, src_context, target_context)
         image_out = self.inverter.decode(z0)
         return {"image": image_out, "latent": z0}
 
@@ -173,3 +177,68 @@ class Pix2PixZeroEditor(Editor):
         rng = jax.random.PRNGKey(inv.seed + 1)
         return jfn(inv.model.params, latent0, latent0, src_context, tgt_context,
                    extras, carry_extras, rng)
+
+    # ------------------------------------------------- edict joint backward
+
+    def _joint_backward_edict(self, inv_res, src_context, tgt_context):
+        """pix2pix-zero over EDICT's coupled pair: the reference keeps one
+        attention store per pair slot and, in the target pass, optimizes the
+        *model-input* latent and steps from it (reference :24-38, :148-193
+        with is_edict + latent_idx).  Here both pairs advance in one scan;
+        each half-update's source maps guide the matching target half-update."""
+        inv = self.inverter
+        ts = inv.backward_timesteps()
+        pair0 = inv_res["latents"][-1]  # (2, B, h, w, c)
+        lr = self.cross_attention_guidance_amount
+        hooks = StoreAllCrossHooks()
+        gs = inv.guidance_scale_bwd
+
+        def fn(params, src0, tgt0, src_ctx, tgt_ctx):
+            def body(carry, inp):
+                src, tgt = carry
+                i, t = inp["i"], inp["t"]
+                offset = i % 2
+                perm = jnp.stack([offset, 1 - offset]).astype(jnp.int32)
+                src_p = src[perm]
+                tgt_p = tgt[perm]
+                for k in range(2):
+                    # source half-update, sowing cross maps
+                    eps_s, store_s = inv.predict_noise(
+                        params, src_p[1 - k], t, src_ctx, gs, hooks=hooks,
+                        collect_store=True)
+                    new_s = inv.edict_step_backward(src_p[k], eps_s, t)
+                    src_p = src_p.at[k].set(new_s.astype(src_p.dtype))
+
+                    # target half-update: SGD on the model-input latent
+                    other_t = tgt_p[1 - k]
+
+                    def loss_fn(lat2):
+                        _, store = inv.predict_noise(
+                            params, lat2, t, tgt_ctx, gs, hooks=hooks,
+                            collect_store=True, force_full_cfg=True)
+                        loss = 0.0
+                        for key, ref in store_s.items():
+                            m = store[key].reshape(-1, *store[key].shape[-2:])
+                            r = jax.lax.stop_gradient(ref).reshape(m.shape)
+                            loss = loss + ((m - r) ** 2).sum((1, 2)).mean(0)
+                        return loss
+
+                    lat2 = jnp.concatenate([other_t, other_t], axis=0)
+                    g = jax.grad(loss_fn)(lat2)
+                    opt = other_t - lr * g[: other_t.shape[0]]
+                    eps_t, _ = inv.predict_noise(params, opt, t, tgt_ctx, gs)
+                    # reference injector steps from the optimized input latent
+                    new_t = inv.edict_step_backward(opt, eps_t, t)
+                    tgt_p = tgt_p.at[k].set(new_t.astype(tgt_p.dtype))
+
+                src = inv.sync_pair(src_p[perm], is_fwd=False)
+                tgt = inv.sync_pair(tgt_p[perm], is_fwd=False)
+                return (src, tgt), None
+
+            inputs = {"i": jnp.arange(len(ts)), "t": jnp.asarray(ts)}
+            (_, tgt), _ = jax.lax.scan(body, (src0, tgt0), inputs)
+            return tgt
+
+        jfn = inv._cached("p2p_edict_bwd", (pair0.shape, src_context.shape,
+                                            len(ts), lr), fn)
+        return jfn(inv.model.params, pair0, pair0, src_context, tgt_context)

@@ -148,6 +148,7 @@ GRID = [
     ("ddpminv", "masactrl"),
     ("npi", "pnp"),
     ("dirinv", "invedit"),
+    ("edict", "pix2pix_zero"),  # per-slot attention guidance in the pair scan
 ]
 
 

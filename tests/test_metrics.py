@@ -109,6 +109,40 @@ def test_bglpips_mask_excludes_foreground():
     assert v2 > 0
 
 
+def test_nslpips_runs_inversion_inside(tiny_model):
+    """NS-LPIPS computes its mask by running a diffusion inversion with an
+    attention store inside the metric (reference metrics/nslpips.py:74-96)."""
+    from eta_inversion_tpu.metrics.nslpips import NSLPIPS
+
+    rs = np.random.RandomState(2)
+    a = jnp.asarray(rs.rand(1, 16, 16, 3).astype("float32") * 2 - 1)
+    b = jnp.asarray(rs.rand(1, 16, 16, 3).astype("float32") * 2 - 1)
+    m = NSLPIPS(model="tiny", num_inference_steps=3)
+    v = m.update(a, b, "a cat sitting next to a mirror", "cat")
+    assert v is not None and np.isfinite(v) and v > 0
+    # unknown edit word -> None (reference returns None on failure)
+    assert m.update(a, b, "a cat", "zebra") is None
+
+
+def test_vis_img_grid():
+    from eta_inversion_tpu.utils.vis_utils import img_grid
+
+    imgs = [[np.zeros((8, 8, 3), np.uint8), np.ones((8, 8)) * 0.5]] * 2
+    g = img_grid(imgs, col_labels=["a", "b"], row_labels=["r1", "r2"])
+    assert g.ndim == 3 and g.dtype == np.uint8
+
+
+def test_phase_timer():
+    from eta_inversion_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("x"):
+        pass
+    with t.phase("x"):
+        pass
+    assert t.counts["x"] == 2 and "x" in t.summary()
+
+
 def test_edit_metric_facade_routing():
     a, b = images()
     for name in ["mse", "psnr", "ssim", "msssim", "lpips"]:
