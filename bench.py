@@ -27,9 +27,10 @@ def main():
     import jax.numpy as jnp
 
     # persistent compilation cache: repeated bench runs skip the (very slow,
-    # remote-tunneled) SD-scale compiles
+    # single-core) SD-scale compiles. Outside the repo so git clean can't
+    # remove it.
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE",
-                               "/root/repo/.jax_cache")
+                               os.path.expanduser("~/.cache/eta_tpu_jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -37,8 +37,11 @@ def run_eval(cfg, override=False, skip_existing_dirs=False):
     with open(path / "cfg.yaml", "w") as f:
         yaml.safe_dump(cfg, f)
 
-    data = EditResultData.from_state_dict(cfg, skip_existing=not override)
+    data = EditResultData.from_state_dict(cfg, skip_existing=not override,
+                                          skip_img_load=True)
 
+    edit_method = dict(cfg["edit_method"])
+    editor_type = edit_method["type"]
     model = None
     editor = None
     for i in range(len(data)):
@@ -48,17 +51,23 @@ def run_eval(cfg, override=False, skip_existing_dirs=False):
         if model is None:
             # lazy-load on first live sample (reference eval.py:71-82)
             method = dict(cfg["method"])
-            edit_method = dict(cfg["edit_method"])
-            model_name = cfg.get("model") or "sd15"
-            model, (preproc, postproc) = load_diffusion_model(model_name)
+            model_cfg = cfg.get("model") or "sd15"
+            if not isinstance(model_cfg, dict):
+                model_cfg = {"type": model_cfg}
+            model_cfg = dict(model_cfg)
+            model, (preproc, postproc) = load_diffusion_model(
+                model_cfg.pop("type"), **model_cfg)
             inverter = load_inverter(model, method.pop("type"), **method)
-            editor = load_editor(inverter, edit_method.pop("type"), **edit_method)
+            em = dict(edit_method)
+            editor = load_editor(inverter, em.pop("type"), **em)
         gc.collect()
 
-        image = preproc(sample["image"])
-        edit_cfg = None
-        if cfg.get("edit_cfg") == "ptp_file" and sample["edit"].get("ptp"):
-            edit_cfg = dict(sample["edit"]["ptp"])
+        image_file = sample.get("image_file")
+        image = preproc(image_file if image_file is not None else sample["image"])
+        # per-sample editing config keyed by editor type (reference eval.py:94)
+        edit_cfg = sample["edit"].get(editor_type)
+        if "zT_gt" in sample and isinstance(edit_cfg, dict):
+            edit_cfg["zT_gt"] = sample["zT_gt"]
         inv_cfg = {"edit_word_idx": sample.get("edit_word_idx"),
                    "mask": sample.get("mask")}
         res = editor.edit(image, sample["source_prompt"],
@@ -68,6 +77,7 @@ def run_eval(cfg, override=False, skip_existing_dirs=False):
             print(f"[{i}] combination unsupported, skipping")
             continue
         out = postproc(res["image"])
+        Path(sample["edit_image_file"]).parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray(out).save(sample["edit_image_file"])
         print(f"[{i}] saved {sample['edit_image_file']}")
 
