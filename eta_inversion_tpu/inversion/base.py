@@ -82,6 +82,11 @@ class DiffusionInversion:
 
     # ---------------------------------------------------------------- codecs
 
+    # NOTE: the jitted wrappers below must consume the `params` ARGUMENT —
+    # closing over self.model.params would bake every weight into the HLO as a
+    # constant (hundreds of MB; the axon compile relay rejects such requests
+    # with HTTP 413, and it defeats executable caching).
+
     def encode(self, image) -> jnp.ndarray:
         image = jnp.asarray(image)
         if image.ndim == 3:  # accept unbatched HWC
@@ -89,23 +94,46 @@ class DiffusionInversion:
         if image.ndim != 4 or image.shape[-1] != 3:
             raise ValueError(
                 f"expected NHWC image with 3 channels, got shape {image.shape}")
-        fn = self._cached("encode", (), lambda params, x: self.model.vae_encode(x))
-        return fn(self.model.params, image)
+        model = self.model
+
+        def fn(params, x):
+            from ..models.vae import AutoencoderKL
+
+            z = model.vae.apply({"params": params["vae"]}, x,
+                                method=AutoencoderKL.encode)
+            # diffusion state stays fp32 regardless of compute dtype; the UNet
+            # casts at its input, scheduler math is fp32
+            return (z * model.scaling_factor).astype(jnp.float32)
+
+        return self._cached("encode", (), fn)(self.model.params, image)
 
     def decode(self, latent) -> jnp.ndarray:
-        fn = self._cached("decode", (), lambda params, z: self.model.vae_decode(z))
-        return fn(self.model.params, latent)
+        model = self.model
+
+        def fn(params, z):
+            from ..models.vae import AutoencoderKL
+
+            return model.vae.apply({"params": params["vae"]},
+                                   z / model.scaling_factor,
+                                   method=AutoencoderKL.decode)
+
+        return self._cached("decode", (), fn)(self.model.params, latent)
 
     def create_context(self, prompt: str, negative_prompt: Optional[str] = "") -> jnp.ndarray:
         """[uncond; cond] embeddings, shape (2, 77, D) — reference
         diffusion_inversion.py:210-247."""
-        ids_c = self.model.tokenizer([prompt])
-        fn = self._cached("text", (), lambda params, ids: self.model.encode_text(ids))
-        cond = fn(self.model.params, ids_c)
+        model = self.model
+
+        def fn(params, ids):
+            return model.text_encoder.apply({"params": params["text"]}, ids)
+
+        jfn = self._cached("text", (), fn)
+        ids_c = jnp.asarray(self.model.tokenizer([prompt]))
+        cond = jfn(self.model.params, ids_c)
         if negative_prompt is None:
             return cond
-        ids_u = self.model.tokenizer([negative_prompt])
-        uncond = fn(self.model.params, ids_u)
+        ids_u = jnp.asarray(self.model.tokenizer([negative_prompt]))
+        uncond = jfn(self.model.params, ids_u)
         return jnp.concatenate([uncond, cond], axis=0)
 
     def cat_context(self, contexts: List[jnp.ndarray]) -> jnp.ndarray:

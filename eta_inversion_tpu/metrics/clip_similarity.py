@@ -84,21 +84,23 @@ class _ClipBackbone:
         self.tparams = jax.jit(lambda k: self.text.init(
             k, jnp.zeros((1, text_cfg.max_length), jnp.int32))["params"])(k2)
 
+        # params passed as jit arguments (not closure constants) — see
+        # inversion/base.py note on the axon compile relay's size limit
         @jax.jit
-        def encode_image(pixels01):
+        def encode_image(vparams, pixels01):
             x = jax.image.resize(pixels01, (pixels01.shape[0], sz, sz, 3),
                                  method="cubic")
             x = (jnp.clip(x, 0, 1) - CLIP_MEAN) / CLIP_STD
-            f = self.vision.apply({"params": self.vparams}, x)
+            f = self.vision.apply({"params": vparams}, x)
             return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
         @jax.jit
-        def encode_ids(ids):
-            f = self.text.apply({"params": self.tparams}, ids)
+        def encode_ids(tparams, ids):
+            f = self.text.apply({"params": tparams}, ids)
             return f / jnp.linalg.norm(f, axis=-1, keepdims=True)
 
-        self.encode_image = encode_image
-        self.encode_ids = encode_ids
+        self.encode_image = functools.partial(encode_image, self.vparams)
+        self.encode_ids = functools.partial(encode_ids, self.tparams)
 
     def text_feat(self, prompt: str, templates: List[str]) -> jnp.ndarray:
         texts = [t.format(prompt).replace("a a", "a").replace("the a", "a")

@@ -42,15 +42,16 @@ def _dino_fns(model_name: str, image_size: int, hidden: int, layers: int,
             jax.random.PRNGKey(seed))
     layer = cfg.num_layers - 1
 
+    # params as a jit argument, not a closure constant (see inversion/base.py)
     @jax.jit
-    def self_sim(pixels01):
+    def self_sim(params_, pixels01):
         x = jax.image.resize(pixels01, (pixels01.shape[0], image_size, image_size, 3),
                              method="bilinear")
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        keys = model.keys_at_layer(params, x, layer)  # (1, tokens, hidden)
+        keys = model.keys_at_layer(params_, x, layer)  # (1, tokens, hidden)
         return attn_cosine_sim(keys[0])
 
-    return self_sim
+    return functools.partial(self_sim, params)
 
 
 class DinoVitStructure(SimpleMetric):

@@ -35,11 +35,13 @@ class PSNRMetric(SimpleMetric):
 def _lpips_fn(weights_path: Optional[str]):
     model, params = load_lpips_params(weights_path)
 
+    # params as an argument (not a closure constant): keeps the compiled HLO
+    # weight-free (axon's compile relay rejects giant constant blobs)
     @jax.jit
-    def fn(a, b):
-        return model.apply({"params": params}, a, b)
+    def fn(params_, a, b):
+        return model.apply({"params": params_}, a, b)
 
-    return fn
+    return functools.partial(fn, params)
 
 
 class LPIPSMetric(SimpleMetric):
