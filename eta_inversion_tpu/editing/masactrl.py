@@ -35,13 +35,16 @@ class MasaCtrlHooks(AttnHooks):
         n = self.layout.n_prompts
         if n < 2:
             return q, k, v
+        B = self.layout.n_pairs
 
         def sub(x):
-            # per CFG half: all rows take the source row's k/v
+            # per CFG half [s_1..s_B, t_1..t_B]: every target row takes its
+            # pair-source's k/v (reference: all rows take row 0's, the B=1
+            # case; masactrl.py:64-71)
             halves = []
             for h0 in range(0, x.shape[0], n):
-                src = x[h0: h0 + 1]
-                halves.append(jnp.broadcast_to(src, x[h0: h0 + n].shape))
+                src = x[h0: h0 + B]
+                halves.append(jnp.concatenate([src, src], axis=0))
             rep = jnp.concatenate(halves, axis=0)
             return jnp.where(self.gate, rep, x)
 

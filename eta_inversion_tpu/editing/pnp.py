@@ -32,16 +32,15 @@ PNP_CONV_BLOCK = (1, 1)  # up_blocks[1].resnets[1]
 
 @dataclasses.dataclass
 class PnpHooks(AttnHooks):
-    """Hooks for the 3-row pnp batch [source, uncond, cond]."""
+    """Hooks for the pnp batch [sources(B), unconds(B), conds(B)]."""
 
     qk_gate: Any  # traced bool
     conv_gate: Any  # traced bool
-
-    # UNet batch plan: input [u_src, u_tgt, c_src, c_tgt] -> [u_src, u_tgt, c_tgt];
-    # output re-expanded so the source branch denoises unconditionally
-    # (pnp.py:127-150)
-    unet_in_rows = (0, 1, 3)
-    unet_out_rows = (0, 1, 0, 2)
+    # UNet batch plan (pnp.py:127-150), pair-batched: input
+    # [u_s(B), u_t(B), c_s(B), c_t(B)] -> [u_s(B), u_t(B), c_t(B)]; output
+    # re-expanded so each source branch denoises unconditionally
+    unet_in_rows: Any = (0, 1, 3)
+    unet_out_rows: Any = (0, 1, 0, 2)
 
     def qkv(self, meta: AttnLayerMeta, q, k, v):
         if meta.is_cross or meta.self_idx not in PNP_SELF_LAYERS:
@@ -50,7 +49,7 @@ class PnpHooks(AttnHooks):
         sb = b // 3
 
         def inject(x):
-            src = jnp.broadcast_to(x[:sb], x.shape)
+            src = jnp.tile(x[:sb], (3,) + (1,) * (x.ndim - 1))
             return jnp.where(self.qk_gate, src, x)
 
         return inject(q), inject(k), v
@@ -59,7 +58,7 @@ class PnpHooks(AttnHooks):
         if (meta.block, meta.resnet) != PNP_CONV_BLOCK:
             return h
         sb = h.shape[0] // 3
-        src = jnp.broadcast_to(h[:sb], h.shape)
+        src = jnp.tile(h[:sb], (3,) + (1,) * (h.ndim - 1))
         return jnp.where(self.conv_gate, src, h)
 
 
@@ -73,7 +72,13 @@ class PnpController(Controller):
         return ("pnp", self.qk_k, self.conv_k)
 
     def hooks(self, i, state, layout: BatchLayout) -> AttnHooks:
-        return PnpHooks(qk_gate=i < self.qk_k, conv_gate=i < self.conv_k)
+        B = layout.n_pairs
+        in_rows = tuple(range(0, B)) + tuple(range(B, 2 * B)) + \
+            tuple(range(3 * B, 4 * B))
+        out_rows = tuple(range(0, B)) + tuple(range(B, 2 * B)) + \
+            tuple(range(0, B)) + tuple(range(2 * B, 3 * B))
+        return PnpHooks(qk_gate=i < self.qk_k, conv_gate=i < self.conv_k,
+                        unet_in_rows=in_rows, unet_out_rows=out_rows)
 
 
 class PlugAndPlayEditor(Editor):

@@ -115,6 +115,17 @@ def aggregate_store(store: Dict[str, jnp.ndarray], keys: List[str], res: int,
     return out.mean(axis=0)
 
 
+def aggregate_store_batched(store: Dict[str, jnp.ndarray], keys: List[str],
+                            res: int, n_prompts: int) -> jnp.ndarray:
+    """Per-sample aggregation: -> (n_prompts, res, res, 77)."""
+    maps = []
+    for k in keys:
+        m = store[k]
+        maps.append(m.reshape(n_prompts, -1, res, res, m.shape[-1]))
+    out = jnp.concatenate(maps, axis=1)
+    return out.mean(axis=1)
+
+
 def attention_map_for_token(agg: jnp.ndarray, token_idx, resize: Optional[int] = 64
                             ) -> jnp.ndarray:
     """Normalized (and optionally bicubic-resized) map for one token channel
@@ -180,12 +191,15 @@ class PtpHooks(AttnHooks):
         return meta.store_key in self.store_keys
 
     def replace_cross(self, base, repl):
-        """base: (H, hw, 77); repl: (n_t, H, hw, 77)."""
+        """Pair-batched: base (B, H, hw, 77) sources; repl (B, H, hw, 77)
+        targets (B = layout.n_pairs; the reference's single edit is B=1)."""
         if self.mode == "replace":
-            new = jnp.einsum("hpw,bwn->bhpn", base, self.mapper_mat)
+            new = jnp.einsum("bhpw,bwn->bhpn", base, self.mapper_mat)
         elif self.mode == "refine":
-            gathered = jnp.stack([jnp.take(base, idx, axis=-1)
-                                  for idx in self.mapper_idx], axis=0)
+            idx = self.mapper_idx[:, None, None, :]  # (B, 1, 1, 77)
+            gathered = jnp.take_along_axis(
+                base, jnp.broadcast_to(idx, base.shape[:3] + (idx.shape[-1],)),
+                axis=-1)
             a = self.refine_alphas[:, None, None, :]
             new = gathered * a + repl * (1 - a)
         else:
@@ -199,20 +213,19 @@ class PtpHooks(AttnHooks):
         if not self.do_edit:
             return p
         n = self.layout.cond_start
-        n_p = self.layout.n_prompts
-        if n_p < 2:
+        if self.layout.n_prompts < 2:
             return p
+        B = self.layout.n_pairs
         cond = p[n:]
-        base, repl = cond[0], cond[1:]
+        base, repl = cond[:B], cond[B:]
         if meta.is_cross:
-            a = self.alpha_i  # (n_t, 1, 1, 77)
+            a = self.alpha_i  # (B, 1, 1, 77)
             new = self.replace_cross(base, repl)
             new = new * a + (1 - a) * repl
-            return jnp.concatenate([p[: n + 1], new.astype(p.dtype)], axis=0)
+            return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
         if meta.res * meta.res <= self.attn_replace_thres:
-            new = jnp.broadcast_to(base[None], repl.shape)
-            new = jnp.where(self.self_gate, new, repl)
-            return jnp.concatenate([p[: n + 1], new.astype(p.dtype)], axis=0)
+            new = jnp.where(self.self_gate, base, repl)
+            return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
         return p
 
 
@@ -222,56 +235,92 @@ class PtpHooks(AttnHooks):
 
 class PtpController(Controller):
     """Full prompt-to-prompt edit controller (replace/refine [+reweight]
-    [+LocalBlend]), reference ptp.py:186-320 make_controller semantics."""
+    [+LocalBlend]), reference ptp.py:186-320 make_controller semantics.
 
-    def __init__(self, engine, source_prompt: str, target_prompt: str,
+    Pair-batched: `source_prompt`/`target_prompt` may be lists of B prompts
+    (with per-pair `blend_words`/`equilizer_params` lists) — all B edits run in
+    one diffusion scan with the conditional batch laid out
+    [s_1..s_B, t_1..t_B].  The reference edits one pair at a time; B=1
+    reproduces it exactly.
+    """
+
+    def __init__(self, engine, source_prompt, target_prompt,
                  is_replace_controller: bool = True,
                  cross_replace_steps: Union[float, Dict[str, Any]] = 0.8,
                  self_replace_steps: Union[float, Tuple[float, float]] = 0.4,
-                 blend_words: Optional[Sequence[Sequence[str]]] = None,
-                 equilizer_params: Optional[Dict[str, Any]] = None,
+                 blend_words: Optional[Sequence] = None,
+                 equilizer_params: Optional[Union[Dict[str, Any], Sequence]] = None,
                  attn_replace_thres: Optional[int] = None,
                  store_res: Optional[Tuple[int, ...]] = None,
                  store_places: Tuple[str, ...] = ("down", "up")):
         self.engine = engine
         tokenizer = engine.model.tokenizer
-        prompts = [source_prompt, target_prompt]
+        batched = isinstance(source_prompt, (list, tuple))
+        sources = list(source_prompt) if batched else [source_prompt]
+        targets = list(target_prompt) if batched else [target_prompt]
+        assert len(sources) == len(targets)
+        B = len(sources)
+        self.n_pairs = B
         S = engine.num_inference_steps
         self.num_steps = S
-        self.prompts = prompts
+        self.prompts = [sources[0], targets[0]]
         self.attn_replace_thres = attn_replace_thres or 32 * 32
 
+        # normalize per-pair option lists
+        blend_list = blend_words if batched else [blend_words]
+        if not batched:
+            eq_list = [equilizer_params]
+        else:
+            eq_list = equilizer_params if equilizer_params is not None else [None] * B
+        if blend_list is None:
+            blend_list = [None] * B
+        assert len(blend_list) == B and len(eq_list) == B
+
         self.mode = "replace" if is_replace_controller else "refine"
-        self.cross_alpha = get_time_words_attention_alpha(
-            prompts, S, cross_replace_steps, tokenizer)  # (S+1, n_t, 1, 1, 77)
+        self.cross_alpha = np.concatenate([
+            get_time_words_attention_alpha([s, t], S, cross_replace_steps, tokenizer)
+            for s, t in zip(sources, targets)], axis=1)  # (S+1, B, 1, 1, 77)
         if isinstance(self_replace_steps, float):
             self_replace_steps = (0.0, self_replace_steps)
         self.self_range = (int(S * self_replace_steps[0]), int(S * self_replace_steps[1]))
 
         if self.mode == "replace":
-            self.mapper_mat = seq_aligner.get_replacement_mapper(prompts, tokenizer)
+            self.mapper_mat = np.concatenate([
+                seq_aligner.get_replacement_mapper([s, t], tokenizer)
+                for s, t in zip(sources, targets)], axis=0)  # (B, 77, 77)
             self.mapper_idx = None
             self.refine_alphas = None
         else:
-            self.mapper_idx, self.refine_alphas = seq_aligner.get_refinement_mapper(
-                prompts, tokenizer)
+            pairs = [seq_aligner.get_refinement_mapper([s, t], tokenizer)
+                     for s, t in zip(sources, targets)]
+            self.mapper_idx = np.concatenate([m for m, _ in pairs], axis=0)
+            self.refine_alphas = np.concatenate([a for _, a in pairs], axis=0)
             self.mapper_mat = None
 
         self.equalizer = None
-        if equilizer_params is not None:
-            self.equalizer = get_equalizer(prompts[1], equilizer_params["words"],
-                                           equilizer_params["values"], tokenizer)
+        if any(eq is not None for eq in eq_list):
+            eqs = []
+            for tgt, eq in zip(targets, eq_list):
+                if eq is None:
+                    eqs.append(np.ones((1, MAX_NUM_WORDS), dtype=np.float32))
+                else:
+                    eqs.append(get_equalizer(tgt, eq["words"], eq["values"], tokenizer))
+            self.equalizer = np.concatenate(eqs, axis=0)  # (B, 77)
 
-        # LocalBlend (reference ptp.py:18-73)
+        # LocalBlend (reference ptp.py:18-73); alpha rows follow the latent
+        # layout [s_1..s_B, t_1..t_B]
         self.blend = None
-        if blend_words is not None:
-            alpha_layers = np.zeros((len(prompts), MAX_NUM_WORDS), dtype=np.float32)
-            for i, (prompt, words) in enumerate(zip(prompts, blend_words)):
-                if isinstance(words, str):
-                    words = [words]
-                for word in words:
-                    ind = seq_aligner.get_word_inds(prompt, word, tokenizer)
-                    alpha_layers[i, ind] = 1
+        if any(bw is not None for bw in blend_list):
+            alpha_layers = np.zeros((2 * B, MAX_NUM_WORDS), dtype=np.float32)
+            for i, (s, t, bw) in enumerate(zip(sources, targets, blend_list)):
+                if bw is None:
+                    continue
+                for row, prompt, words in ((i, s, bw[0]), (B + i, t, bw[1])):
+                    if isinstance(words, str):
+                        words = [words]
+                    for word in words:
+                        ind = seq_aligner.get_word_inds(prompt, word, tokenizer)
+                        alpha_layers[row, ind] = 1
             self.blend = {
                 "alpha_layers": alpha_layers,
                 "start_blend": int(0.2 * S),
@@ -293,8 +342,8 @@ class PtpController(Controller):
     # -- protocol ------------------------------------------------------------
 
     def static_key(self):
-        return ("ptp", self.mode, self.self_range, self.attn_replace_thres,
-                self.equalizer is not None,
+        return ("ptp", self.mode, self.n_pairs, self.self_range,
+                self.attn_replace_thres, self.equalizer is not None,
                 None if self.blend is None else self.blend["start_blend"],
                 self.store_keys, self.num_steps)
 
@@ -303,7 +352,7 @@ class PtpController(Controller):
 
     def init_state(self, engine, latent, contexts):
         heads = engine.model.preset.unet.num_heads
-        n = 2  # [source, target]
+        n = 2 * self.n_pairs  # [s_1..s_B, t_1..t_B]
         state: Dict[str, Any] = {
             "cross_alpha": jnp.asarray(self.cross_alpha),
             "store_sum": {
@@ -330,8 +379,7 @@ class PtpController(Controller):
             alpha_i=state["cross_alpha"][i],
             self_gate=jnp.logical_and(i >= lo, i < hi),
             mapper_mat=state.get("mapper_mat"),
-            mapper_idx=None if self.mapper_idx is None else
-            [state["mapper_idx"][k] for k in range(state["mapper_idx"].shape[0])],
+            mapper_idx=state.get("mapper_idx"),
             refine_alphas=state.get("refine_alphas"),
             equalizer=state.get("equalizer"),
             attn_replace_thres=self.attn_replace_thres,
@@ -354,27 +402,37 @@ class PtpController(Controller):
         return latent, state
 
     def _local_blend(self, i, x_t, state):
-        """LocalBlend (reference ptp.py:20-47): build a word-attention mask at
-        16x16, pool, upsample, threshold, and blend non-masked regions back to
-        the source latent."""
-        b, h, w, c = x_t.shape
+        """LocalBlend (reference ptp.py:20-47), pair-batched: per pair, build a
+        word-attention mask, pool, upsample, threshold, union with the source
+        mask, and blend non-masked regions back to that pair's source latent.
+        Rows without blend words pass through untouched."""
+        b, h, w, c = x_t.shape  # b = 2B, rows [s_1..s_B, t_1..t_B]
+        B = self.n_pairs
         res = self.store_res[0]
         maps = []
         for k in self.store_keys:
             if f"_{res}_" not in k:
                 continue
-            m = state["store_sum"][k]  # (n, H, hw, 77)
+            m = state["store_sum"][k]  # (2B, H, hw, 77)
             maps.append(m.reshape(b, -1, 1, res, res, MAX_NUM_WORDS))
         maps = jnp.concatenate(maps, axis=1)
         alpha = state["alpha_layers"][:, None, None, None, None, :]
-        mask = (maps * alpha).sum(-1).mean(1)  # (n, 1, 16, 16)
+        mask = (maps * alpha).sum(-1).mean(1)  # (2B, 1, 16, 16)
         mask = max_pool_3x3(mask)
         mask = jax.image.resize(mask, (b, 1, h, w), method="nearest")
         mask = mask / jnp.maximum(mask.max(axis=(2, 3), keepdims=True), 1e-12)
         mask = (mask > self.blend["th"][0])
-        mask = jnp.logical_or(mask[:1], mask).astype(x_t.dtype)
+        # union each target's mask with its pair's source mask (reference
+        # `mask[:1] + mask` generalized per pair)
+        src_mask = jnp.concatenate([mask[:B], mask[:B]], axis=0)
+        mask = jnp.logical_or(src_mask, mask).astype(x_t.dtype)
         mask = mask.transpose(0, 2, 3, 1)  # NHWC
-        blended = x_t[:1] + mask * (x_t - x_t[:1])
+        base = jnp.concatenate([x_t[:B], x_t[:B]], axis=0)
+        blended = base + mask * (x_t - base)
+        has_blend = jnp.asarray(
+            (np.asarray(self.blend["alpha_layers"]).any(axis=-1)),
+            x_t.dtype).reshape(b, 1, 1, 1)
+        blended = has_blend * blended + (1 - has_blend) * x_t
         # counter semantics: blend once step index exceeds start_blend
         # (reference ptp.py:34-36 counts calls before comparing)
         return jnp.where(i + 1 > self.blend["start_blend"], blended, x_t)
@@ -424,9 +482,11 @@ class AttnStoreController(Controller):
         }
         if self.per_step_maps:
             # running sum of per-step normalized token maps (eta-inversion's
-            # forward "mean" masks, reference eta_inversion.py:36-49, 388-396)
+            # forward "mean" masks, reference eta_inversion.py:36-49, 388-396);
+            # kept per sample for batched editing
             state["norm_map_sum"] = jnp.zeros(
-                (self.resize, self.resize, MAX_NUM_WORDS), jnp.float32)
+                (self.n_prompts, self.resize, self.resize, MAX_NUM_WORDS),
+                jnp.float32)
         return state
 
     def end_step(self, i, t, latent, eps, store, state):
@@ -441,9 +501,9 @@ class AttnStoreController(Controller):
         state["count"] = state["count"] + 1.0
         if self.per_step_maps:
             res = self.store_res[0]
-            agg = aggregate_store(sums, list(self.store_keys), res, n, 0)
-            state["norm_map_sum"] = state["norm_map_sum"] + \
-                normalized_token_maps(agg, self.resize)
+            agg = aggregate_store_batched(sums, list(self.store_keys), res, n)
+            state["norm_map_sum"] = state["norm_map_sum"] + jax.vmap(
+                lambda a: normalized_token_maps(a, self.resize))(agg)
         return latent, state
 
 

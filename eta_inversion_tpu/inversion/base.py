@@ -136,6 +136,16 @@ class DiffusionInversion:
         uncond = jfn(self.model.params, ids_u)
         return jnp.concatenate([uncond, cond], axis=0)
 
+    def embed_texts(self, prompts: List[str]) -> jnp.ndarray:
+        """Batch-embed N prompts -> (N, 77, D) in one text-encoder call."""
+        model = self.model
+
+        def fn(params, ids):
+            return model.text_encoder.apply({"params": params["text"]}, ids)
+
+        ids = jnp.asarray(self.model.tokenizer(list(prompts)))
+        return self._cached("text", (), fn)(self.model.params, ids)
+
     def cat_context(self, contexts: List[jnp.ndarray]) -> jnp.ndarray:
         """[[u1,c1],[u2,c2]] -> [u1,u2,c1,c2] (reference :462-479)."""
         n = len(contexts)

@@ -146,14 +146,22 @@ class DDPMInversion(DiffusionInversion):
 
     def combine_guidance(self, eps_u, eps_c, guidance_scale, latent, t, inp=None,
                          is_fwd=False):
-        # per-branch guidance for the [source, target] pair: source keeps the
-        # forward scale (reference ddpm_inversion.py:154-159)
-        if not is_fwd and eps_u.shape[0] == 2:
-            gs = jnp.asarray([self.guidance_scale_fwd, self.guidance_scale_bwd],
-                             dtype=eps_u.dtype).reshape(2, 1, 1, 1)
+        # per-branch guidance for [source(s), target(s)] pairs: sources keep
+        # the forward scale (reference ddpm_inversion.py:154-159; generalized
+        # to B pairs laid out [s_1..s_B, t_1..t_B])
+        n = eps_u.shape[0]
+        if not is_fwd and n >= 2 and n % 2 == 0:
+            half = n // 2
+            gs = jnp.asarray([self.guidance_scale_fwd] * half
+                             + [self.guidance_scale_bwd] * half,
+                             dtype=eps_u.dtype).reshape(n, 1, 1, 1)
             return eps_u + gs * (eps_c - eps_u)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
     def step_backward(self, eps, t, latent, inp=None, rng=None):
+        vn = inp["variance_noise"]
+        if vn.shape[0] > 1 and latent.shape[0] == 2 * vn.shape[0]:
+            # B>1 pair batching: each [s_i, t_i] pair replays its own noisemap
+            vn = jnp.concatenate([vn, vn], axis=0)
         return ddim_backward_step(self.schedule, latent, eps, t,
-                                  eta=inp["eta"], noise=inp["variance_noise"])
+                                  eta=inp["eta"], noise=vn)

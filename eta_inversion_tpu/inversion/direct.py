@@ -36,10 +36,12 @@ class DirectInversion(DiffusionInversion):
                                         hooks=ctrl.hooks(i, state, layout),
                                         collect_store=ctrl.collect_store(), inp=inp)
         new_latent = self.step_backward(eps, t, latent, inp, krng)
-        # direct-inversion correction: snap source row to the recorded
-        # forward-trajectory latent; other rows keep their free trajectory.
+        # direct-inversion correction: snap source rows to the recorded
+        # forward-trajectory latents; target rows keep their free trajectory
+        # (pair-batched layout [s_1..s_B, t_1..t_B]; reference :43-45 is B=1).
         src_prev = inp["source_latent_prev"]
-        new_latent = jnp.concatenate([src_prev[:1], new_latent[1:]], axis=0)
+        B = src_prev.shape[0]
+        new_latent = jnp.concatenate([src_prev, new_latent[B:]], axis=0)
         new_latent, state = ctrl.end_step(i, t, new_latent, eps, store, state)
         return {**carry, "latent": new_latent, "state": state, "rng": rng}, \
             {"latent": new_latent, "eps": eps}

@@ -121,14 +121,19 @@ class EtaInversion(DiffusionInversion):
     def predict_noise(self, params, latent, t, context, guidance_scale,
                       hooks=None, collect_store=False, is_fwd=False, inp=None,
                       force_full_cfg=False):
-        # always full CFG; per-timestep guidance via table lookup
-        # (reference :319-328)
+        # per-timestep guidance via table lookup (reference :319-328)
         if is_fwd and self.gs_fwd_table is not None:
             guidance_scale = jnp.asarray(self.gs_fwd_table, jnp.float32)[
                 jnp.clip(t, 0, 999)]
+        # The reference always runs the full 2-branch CFG batch even for
+        # scalar guidance 0/1 (:319-328) — pure waste at the default fwd
+        # scale of 1 (u + 1*(c-u) == c up to one rounding). Keep the
+        # single-branch fast path for exact 0/1 scalars; force the full batch
+        # otherwise (incl. per-t tables).
+        scalar01 = isinstance(guidance_scale, (int, float)) and guidance_scale in (0, 1)
         return super().predict_noise(params, latent, t, context, guidance_scale,
                                      hooks, collect_store, is_fwd, inp,
-                                     force_full_cfg=True)
+                                     force_full_cfg=not scalar01)
 
     def invert(self, image, prompt=None, context=None, guidance_scale_fwd=None,
                rng=None, inv_cfg=None, **kwargs) -> Optional[Dict[str, Any]]:
@@ -140,21 +145,37 @@ class EtaInversion(DiffusionInversion):
             fwd = self.diffusion_forward(latent, context, guidance_scale_fwd, rng=rng)
         else:
             widx = inv_cfg.get("edit_word_idx")
-            if widx is None or widx[0] is None or widx[1] is None:
+            if widx is None or self._widx_invalid(widx):
                 return None
+            n_src = latent.shape[0]  # B source images batched through one scan
             ctrl = AttnStoreController(
                 self, store_res=(self._attn_res(),),
                 store_places=tuple(self.mask_mode_cfg["attn_from_where"]),
-                n_prompts=1, per_step_maps=True,
+                n_prompts=n_src, per_step_maps=True,
                 resize=self.model.latent_size)
             fwd = self.diffusion_forward(latent, context, guidance_scale_fwd,
                                          ctrl=ctrl, rng=rng)
             st = fwd.pop("fwd_state")
-            # mean over steps of per-step normalized token maps
+            # mean over steps of per-step normalized token maps, per sample
             # (reference :392-396)
             fwd["fwd_token_maps"] = st["norm_map_sum"] / jnp.maximum(st["count"], 1.0)
         fwd["context"] = context
         return {**kwargs, "inv_cfg": inv_cfg, **fwd}
+
+    @staticmethod
+    def _widx_invalid(widx) -> bool:
+        if isinstance(widx, (list, tuple)) and widx and \
+                isinstance(widx[0], (list, tuple)):
+            return any(w[0] is None or w[1] is None for w in widx)
+        return widx[0] is None or widx[1] is None
+
+    @staticmethod
+    def _widx_array(widx) -> np.ndarray:
+        """(B, 2) int array of per-sample (source, target) word indices."""
+        arr = np.asarray(widx, dtype=np.int64)
+        if arr.ndim == 1:
+            arr = arr[None]
+        return arr
 
     # -------------------------------------------------------------- backward
 
@@ -165,7 +186,7 @@ class EtaInversion(DiffusionInversion):
         return extras
 
     def _static_mask(self, inv_result, key) -> Optional[jnp.ndarray]:
-        """Step-independent eta/dirinv masks ("gt" / "fwd_mean"), (1,h,w,1)."""
+        """Step-independent eta/dirinv masks ("gt" / "fwd_mean"), (B,h,w,1)."""
         mm = self.mask_mode_cfg
         mode = mm[key]
         size = self.model.latent_size
@@ -174,11 +195,16 @@ class EtaInversion(DiffusionInversion):
             return None
         if mode == "gt":
             mask = jnp.asarray(inv_cfg["mask"], jnp.float32)
-            mask = jax.image.resize(mask, (size, size), method="bilinear")
+            if mask.ndim == 2:
+                mask = mask[None]
+            mask = jax.vmap(lambda m: jax.image.resize(m, (size, size),
+                                                       method="bilinear"))(mask)
         elif mode == "fwd_mean":
-            widx = inv_cfg["edit_word_idx"][0]
-            mask = attention_map_for_token(inv_result["fwd_token_maps"],
-                                           int(widx) + 1, resize=None)
+            widx = self._widx_array(inv_cfg["edit_word_idx"])[:, 0]
+            maps = inv_result["fwd_token_maps"]  # (B, size, size, 77)
+            mask = jax.vmap(
+                lambda m, w: attention_map_for_token(m, w + 1, resize=None)
+            )(maps, jnp.asarray(widx))
         elif mode.startswith("bwd"):
             return None  # computed per step inside the scan (_bwd_mask)
         else:
@@ -191,16 +217,18 @@ class EtaInversion(DiffusionInversion):
             mask = (mask > mm["thres"]).astype(jnp.float32)
         if mm["pow"] is not None:
             mask = jnp.power(mask, mm["pow"])
-        return mask.reshape(1, size, size, 1)
+        return mask.reshape(-1, size, size, 1)
 
-    def _bwd_mask(self, key, ctrl, state, store, latent, widx_pair):
+    def _bwd_mask(self, key, ctrl, state, store, latent, widx_arr):
         """Masks from the *backward* controller's accumulated attention store,
         including the current step's maps (reference mask modes bwd_source /
         bwd_target / bwd_source_target, eta_inversion.py:176-183; requires a
-        store-carrying controller such as ptp)."""
+        store-carrying controller such as ptp).  Pair-batched: widx_arr is
+        (B, 2) traced; latent rows are [s_1..s_B, t_1..t_B]."""
         mode = self.mask_mode_cfg[key]
         size = self.model.latent_size
-        n = latent.shape[0]
+        n = latent.shape[0]  # 2B
+        B = n // 2
         keys = [k for k in getattr(ctrl, "store_keys", ())
                 if f"_{self._attn_res()}_" in k]
         if not keys:
@@ -210,19 +238,20 @@ class EtaInversion(DiffusionInversion):
         merged = {k: state["store_sum"][k] + store[k][-n:].astype(jnp.float32)
                   for k in keys}
         res = self._attn_res()
+        agg = aggregate_store_batched(merged, keys, res, n)  # (2B, res, res, 77)
 
-        def token_mask(select, widx):
-            # widx is a traced int array (per-sample word index)
-            agg = aggregate_store(merged, keys, res, n, select)
-            return attention_map_for_token(agg, widx + 1, resize=size)
+        def token_masks(rows, widx):
+            return jax.vmap(
+                lambda m, w: attention_map_for_token(m, w + 1, resize=size)
+            )(rows, widx)
 
         if mode == "bwd_source":
-            mask = token_mask(0, widx_pair[0])
+            mask = token_masks(agg[:B], widx_arr[:, 0])
         elif mode == "bwd_target":
-            mask = token_mask(1, widx_pair[1])
+            mask = token_masks(agg[B:], widx_arr[:, 1])
         elif mode == "bwd_source_target":
-            mask = jnp.maximum(token_mask(0, widx_pair[0]),
-                               token_mask(1, widx_pair[1]))
+            mask = jnp.maximum(token_masks(agg[:B], widx_arr[:, 0]),
+                               token_masks(agg[B:], widx_arr[:, 1]))
         else:
             raise NotImplementedError(mode)
         return self._finish_mask(mask, size)
@@ -242,8 +271,8 @@ class EtaInversion(DiffusionInversion):
                 extras["mask_dirinv"] = md
             if self._mask_mode_is_bwd("mask_eta") or self._mask_mode_is_bwd("mask_dirinv"):
                 widx = (inv_result.get("inv_cfg") or {}).get("edit_word_idx")
-                extras["edit_word_idx"] = jnp.asarray(
-                    [int(widx[0]), int(widx[1])], jnp.int32)
+                extras["edit_word_idx"] = jnp.asarray(self._widx_array(widx),
+                                                     jnp.int32)
         return extras
 
     def predict_step_backward(self, params, carry, inp, context, ctrl, layout):
@@ -256,32 +285,41 @@ class EtaInversion(DiffusionInversion):
                                         hooks=ctrl.hooks(i, state, layout),
                                         collect_store=ctrl.collect_store(), inp=inp)
 
-        src_prev = inp["source_latent_prev"]  # (1, h, w, c)
+        src_prev = inp["source_latent_prev"]  # (B, h, w, c)
+        B = src_prev.shape[0]
         eta_t = jnp.asarray(self.etas)[jnp.clip(t, 0, 999)]
 
         # candidate variance noises + closed-form optimal noise (reference
-        # :296-317, :330-375), vectorized argmin
+        # :296-317, :330-375), vectorized argmin — per sample when batched
         noises = jax.random.normal(
             k_noise, (self.noise_sample_count,) + src_prev.shape, latent.dtype)
-        rec0 = ddim_backward_step(self.schedule, latent[:1], eps[:1], t, eta=eta_t)
+        rec0 = ddim_backward_step(self.schedule, latent[:B], eps[:B], t, eta=eta_t)
         std = eta_t * jnp.sqrt(self.schedule.variance(t))
         opt = jnp.where(std > 0, (src_prev - rec0) / jnp.maximum(std, 1e-20), 0.0)
-        losses = jnp.mean((noises - opt[None]) ** 2, axis=tuple(range(1, noises.ndim)))
-        vn = noises[jnp.argmin(losses)]
+        losses = jnp.mean((noises - opt[None]) ** 2,
+                          axis=tuple(range(2, noises.ndim)))  # (count, B)
+        best = jnp.argmin(losses, axis=0)  # (B,)
+        vn = jnp.take_along_axis(
+            noises, best.reshape(1, B, *([1] * (noises.ndim - 2))), axis=0)[0]
 
+        # latent rows are [s_1..s_B, t_1..t_B]: each pair shares its noise/mask
+        vn_full = jnp.concatenate([vn, vn], axis=0) if latent.shape[0] == 2 * B \
+            else vn
         eta_map = eta_t
         mask_eta = carry.get("mask_eta")
         if self._mask_mode_is_bwd("mask_eta"):
             mask_eta = self._bwd_mask("mask_eta", ctrl, state, store, latent,
                                       carry["edit_word_idx"])
         if self.mask_mode_cfg is not None and mask_eta is not None:
-            eta_map = mask_eta * eta_t
+            pair_mask = jnp.concatenate([mask_eta, mask_eta], axis=0) \
+                if latent.shape[0] == 2 * B else mask_eta
+            eta_map = pair_mask * eta_t
 
         new_latent = ddim_backward_step(self.schedule, latent, eps, t,
-                                        eta=eta_map, noise=vn)
-        # source row snaps to the forward trajectory (reference :245-261)
-        delta = src_prev - new_latent[:1]
-        rest = new_latent[1:]
+                                        eta=eta_map, noise=vn_full)
+        # source rows snap to the forward trajectory (reference :245-261)
+        delta = src_prev - new_latent[:B]
+        rest = new_latent[B:]
         if self.mask_mode_cfg is not None and \
                 self.mask_mode_cfg.get("target_dirinv") is not None:
             d = delta

@@ -129,7 +129,12 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048)
     if dp != d:
         pad = [(0, 0), (0, 0), (0, dp - d)]
         qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
-    o = flash_attention_bhsd(qf, kf, vf, scale=float(scale))
+    # block sizes from an on-chip sweep at SD shapes (v5e, S=4096, D=128):
+    # small BH prefers smaller q blocks; K blocks of 1024 win across the board
+    block_q = 256 if b * h <= 16 else 512
+    block_k = 1024 if sk % 1024 == 0 else 512
+    o = flash_attention_bhsd(qf, kf, vf, scale=float(scale),
+                             block_q=block_q, block_k=block_k)
     if dp != d:
         o = o[..., :d]
     return o.reshape(b, h, sq, d)
