@@ -32,6 +32,7 @@ import numpy as np
 from ..editing.ptp import (
     AttnStoreController,
     aggregate_store,
+    aggregate_store_batched,
     attention_map_for_token,
     store_keys_for,
 )
