@@ -329,13 +329,21 @@ class PtpController(Controller):
 
         # store: cross maps at 16x16 from down+up (LocalBlend's layer set,
         # reference ptp.py:37); small models fall back to the nearest
-        # resolution that has cross layers
+        # resolution that has cross layers.  The reference accumulates these
+        # maps unconditionally (ptp.py:143-183); here they are only
+        # materialized when something consumes them — LocalBlend, or a caller
+        # that passed store_res explicitly (e.g. eta-inversion bwd_* masks).
         metas = engine.model.attn_metas
+        explicit_store = store_res is not None
         if store_res is None:
             want = max(engine.model.preset.unet.sample_size // 4, 1)
             store_res = (nearest_cross_res(metas, want, store_places),)
-        self.store_keys = tuple(
-            k for res in store_res for k in store_keys_for(metas, res, store_places))
+        if self.blend is not None or explicit_store:
+            self.store_keys = tuple(
+                k for res in store_res
+                for k in store_keys_for(metas, res, store_places))
+        else:
+            self.store_keys = ()
         self.store_res = store_res
         self.store_places = store_places
 
@@ -513,4 +521,13 @@ class PromptToPromptEditor(ControllerBasedEditor):
     def make_controller(self, image, source_prompt, target_prompt, inv_res,
                         **kwargs) -> Controller:
         kwargs.pop("prompts", None)
-        return PtpController(self.inverter, source_prompt, target_prompt, **kwargs)
+        inv = self.inverter
+        # eta-inversion bwd_* mask modes read this controller's attention
+        # store — force it on even without LocalBlend
+        if getattr(inv, "mask_mode_cfg", None) is not None and (
+                inv._mask_mode_is_bwd("mask_eta")
+                or inv._mask_mode_is_bwd("mask_dirinv")):
+            kwargs.setdefault("store_res", (inv._attn_res(),))
+            kwargs.setdefault("store_places",
+                              tuple(inv.mask_mode_cfg["attn_from_where"]))
+        return PtpController(inv, source_prompt, target_prompt, **kwargs)
