@@ -45,7 +45,7 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "etainv_ptp")
     # pair-batched editing (B edits per compiled program) — the TPU-native
     # throughput lever the reference lacks; B=1 measures pure latency
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
 
     model, (pre, post) = load_diffusion_model("sd15", dtype="bfloat16")
 
