@@ -39,7 +39,14 @@ class NSLPIPS(SimpleMetric):
         ctrl = AttnStoreController(inv, n_prompts=1)
         res_side = ctrl.store_res[0]
         context = inv.create_context(prompt)
-        latent = inv.encode(jnp.asarray(image, jnp.float32))
+        # run the mask inversion at the diffusion model's native resolution;
+        # the attention map is resized back to the metric image size
+        img = jnp.asarray(image, jnp.float32)
+        size = inv.model.image_size
+        if img.shape[1] != size:
+            img = jax.image.resize(img, (img.shape[0], size, size, 3),
+                                   method="bilinear")
+        latent = inv.encode(img)
         fwd = inv.diffusion_forward(latent, context, guidance_scale_fwd=1, ctrl=ctrl)
         st = fwd["fwd_state"]
         agg = aggregate_store(st["store_sum"], list(ctrl.store_keys), res_side, 1, 0)

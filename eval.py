@@ -21,7 +21,7 @@ from eta_inversion_tpu.utils.debug_utils import enable_deterministic
 enable_deterministic()
 
 
-def run_eval(cfg, override=False, skip_existing_dirs=False):
+def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
     import numpy as np
     from PIL import Image
 
@@ -42,44 +42,94 @@ def run_eval(cfg, override=False, skip_existing_dirs=False):
 
     edit_method = dict(cfg["edit_method"])
     editor_type = edit_method["type"]
-    model = None
-    editor = None
-    for i in range(len(data)):
-        sample = data[i]
-        if sample is None:
-            continue  # resume: output exists
-        if model is None:
-            # lazy-load on first live sample (reference eval.py:71-82)
-            method = dict(cfg["method"])
-            model_cfg = cfg.get("model") or "sd15"
-            if not isinstance(model_cfg, dict):
-                model_cfg = {"type": model_cfg}
-            model_cfg = dict(model_cfg)
-            model, (preproc, postproc) = load_diffusion_model(
-                model_cfg.pop("type"), **model_cfg)
-            inverter = load_inverter(model, method.pop("type"), **method)
-            em = dict(edit_method)
-            editor = load_editor(inverter, em.pop("type"), **em)
-        gc.collect()
+    state = {"model": None, "editor": None, "preproc": None, "postproc": None}
 
+    def ensure_loaded():
+        if state["model"] is not None:
+            return
+        method = dict(cfg["method"])
+        model_cfg = cfg.get("model") or "sd15"
+        if not isinstance(model_cfg, dict):
+            model_cfg = {"type": model_cfg}
+        model_cfg = dict(model_cfg)
+        state["model"], (state["preproc"], state["postproc"]) = \
+            load_diffusion_model(model_cfg.pop("type"), **model_cfg)
+        inverter = load_inverter(state["model"], method.pop("type"), **method)
+        em = dict(edit_method)
+        state["editor"] = load_editor(inverter, em.pop("type"), **em)
+
+    def sample_args(i, sample):
         image_file = sample.get("image_file")
-        image = preproc(image_file if image_file is not None else sample["image"])
+        image = state["preproc"](
+            image_file if image_file is not None else sample["image"])
         # per-sample editing config keyed by editor type (reference eval.py:94)
         edit_cfg = sample["edit"].get(editor_type)
         if "zT_gt" in sample and isinstance(edit_cfg, dict):
             edit_cfg["zT_gt"] = sample["zT_gt"]
         inv_cfg = {"edit_word_idx": sample.get("edit_word_idx"),
                    "mask": sample.get("mask")}
-        res = editor.edit(image, sample["source_prompt"],
-                          sample["edit"]["target_prompt"], cfg=edit_cfg,
-                          inv_cfg=inv_cfg)
-        if res is None:
-            print(f"[{i}] combination unsupported, skipping")
-            continue
-        out = postproc(res["image"])
+        return image, edit_cfg, inv_cfg
+
+    def save(sample, image_arr, i):
+        out = state["postproc"](image_arr)
         Path(sample["edit_image_file"]).parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray(out).save(sample["edit_image_file"])
         print(f"[{i}] saved {sample['edit_image_file']}")
+
+    pending = []  # (i, sample) batch accumulator
+
+    def flush_batch():
+        if not pending:
+            return
+        from eta_inversion_tpu.editing.batched import edit_batch
+
+        import jax.numpy as jnp
+
+        idxs, samples = zip(*pending)
+        pending.clear()
+        args = [sample_args(i, s) for i, s in zip(idxs, samples)]
+        images = jnp.concatenate([a[0] for a in args], axis=0)
+        res = edit_batch(state["editor"], images,
+                         [s["source_prompt"] for s in samples],
+                         [s["edit"]["target_prompt"] for s in samples],
+                         cfgs=[a[1] for a in args],
+                         inv_cfgs=[a[2] for a in args])
+        if res is None:
+            print(f"batch {idxs}: combination unsupported, skipping")
+            return
+        for j, (i, s) in enumerate(zip(idxs, samples)):
+            save(s, res["image"][j], i)
+
+    for i in range(len(data)):
+        sample = data[i]
+        if sample is None:
+            continue  # resume: output exists
+        ensure_loaded()
+        gc.collect()
+
+        if batch > 1:
+            pending.append((i, sample))
+            if len(pending) == batch:
+                flush_batch()
+            continue
+
+        image, edit_cfg, inv_cfg = sample_args(i, sample)
+        res = state["editor"].edit(image, sample["source_prompt"],
+                                   sample["edit"]["target_prompt"], cfg=edit_cfg,
+                                   inv_cfg=inv_cfg)
+        if res is None:
+            print(f"[{i}] combination unsupported, skipping")
+            continue
+        save(sample, res["image"], i)
+
+    # trailing partial batch runs per-sample to keep compiled shapes stable
+    for i, sample in pending:
+        image, edit_cfg, inv_cfg = sample_args(i, sample)
+        res = state["editor"].edit(image, sample["source_prompt"],
+                                   sample["edit"]["target_prompt"], cfg=edit_cfg,
+                                   inv_cfg=inv_cfg)
+        if res is not None:
+            save(sample, res["image"], i)
 
 
 def main(args):
@@ -95,7 +145,7 @@ def main(args):
     for cfg in cfgs:
         print(f"=== {cfg['path']}")
         run_eval(cfg, override=args.override,
-                 skip_existing_dirs=args.skip_existing_dirs)
+                 skip_existing_dirs=args.skip_existing_dirs, batch=args.batch)
 
 
 if __name__ == "__main__":
@@ -108,4 +158,7 @@ if __name__ == "__main__":
                         help="Skip whole experiment dirs that already exist")
     parser.add_argument("--host_id", type=int, default=0)
     parser.add_argument("--num_hosts", type=int, default=1)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="Pair-batched editing: run N samples per compiled "
+                             "program (supported editors: simple/ptp/masactrl/pnp)")
     main(parser.parse_args())

@@ -73,6 +73,24 @@ def test_eval_and_metrics_end_to_end(workspace):
     # resume: second run skips everything (no new files, no error)
     eval_cli.run_eval(cfgs[0])
 
+    # batched path produces identical files (ptp cfgs batch per-sample)
+    import shutil
+
+    batched_dir = Path(str(out) + "_batched")
+    shutil.copytree(out, batched_dir)
+    for f in (batched_dir / "imgs").glob("*.png"):
+        f.unlink()
+    cfg_b = dict(cfgs[0])
+    cfg_b["path"] = str(batched_dir)
+    eval_cli.run_eval(cfg_b, batch=2)
+    import numpy as np
+    from PIL import Image
+
+    for f in sorted((out / "imgs").glob("*.png")):
+        a = np.asarray(Image.open(f))
+        b = np.asarray(Image.open(batched_dir / "imgs" / f.name))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, f.name
+
     # metrics pass over the results
     for metric in ["mse", "psnr", "ssim"]:
         metrics_cli.run_compute_metric(str(out), metric)

@@ -165,7 +165,7 @@ def test_etainv_requires_word_idx(tiny_model, test_image):
     assert inv.invert(jnp.asarray(test_image), PROMPT, inv_cfg={}) is None
     res = inv.invert(jnp.asarray(test_image), PROMPT,
                      inv_cfg={"edit_word_idx": (1, 1)})
-    assert res["fwd_token_maps"].shape == (8, 8, 77)
+    assert res["fwd_token_maps"].shape == (1, 8, 8, 77)  # per-sample maps
     maps = np.asarray(res["fwd_token_maps"])
     assert maps.min() >= 0 and maps.max() <= 1.0 + 1e-6
 

@@ -111,12 +111,14 @@ def test_bglpips_mask_excludes_foreground():
 
 def test_nslpips_runs_inversion_inside(tiny_model):
     """NS-LPIPS computes its mask by running a diffusion inversion with an
-    attention store inside the metric (reference metrics/nslpips.py:74-96)."""
+    attention store inside the metric (reference metrics/nslpips.py:74-96).
+    Metric images are 64px (LPIPS/AlexNet needs >=32px); the inversion runs at
+    the tiny model's native 16px and the mask is resized."""
     from eta_inversion_tpu.metrics.nslpips import NSLPIPS
 
     rs = np.random.RandomState(2)
-    a = jnp.asarray(rs.rand(1, 16, 16, 3).astype("float32") * 2 - 1)
-    b = jnp.asarray(rs.rand(1, 16, 16, 3).astype("float32") * 2 - 1)
+    a = jnp.asarray(rs.rand(1, 64, 64, 3).astype("float32") * 2 - 1)
+    b = jnp.asarray(rs.rand(1, 64, 64, 3).astype("float32") * 2 - 1)
     m = NSLPIPS(model="tiny", num_inference_steps=3)
     v = m.update(a, b, "a cat sitting next to a mirror", "cat")
     assert v is not None and np.isfinite(v) and v > 0
