@@ -19,6 +19,20 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+def test_partition_grid_and_device_pool():
+    from eta_inversion_tpu.parallel.eval_pool import DevicePool, partition_grid
+
+    cfgs = [{"i": i} for i in range(7)]
+    parts = [partition_grid(cfgs, h, 3) for h in range(3)]
+    assert sorted(c["i"] for p in parts for c in p) == list(range(7))
+    assert all(len(p) in (2, 3) for p in parts)
+
+    # inline (no-device) execution path (reference device_pool.py:42-46)
+    out = []
+    DevicePool([]).run([{"target": out.append, "args": (i,)} for i in range(4)])
+    assert out == [0, 1, 2, 3]
+
+
 def test_mesh_shapes():
     m = make_mesh(8)
     assert dict(m.shape) == {"data": 8, "model": 1}
