@@ -90,6 +90,8 @@ def main():
     per_edit = (time.time() - t0) / repeats / batch
 
     baseline_s = 2.0  # v5e target from BASELINE.md
+    print(f"# throughput: {1.0 / per_edit:.3f} images/sec/chip "
+          f"({60.0 / per_edit:.1f} PIE imgs/min/chip)", file=sys.stderr)
     print(json.dumps({
         "metric": f"{config}_{steps}step_512px_batch{batch}_s_per_edit",
         "value": round(per_edit, 4),

@@ -47,6 +47,7 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
     Returns {"image", "image_inv", "latent", "latent_inv"} with leading dim B.
     """
     from .editor import ControllerBasedEditor
+    from .inv_editor import InversionEditor
     from .masactrl import MasaCtrlController, MasactrlEditor
     from .pnp import PlugAndPlayEditor, PnpController
     from .simple import SimpleEditor
@@ -56,6 +57,23 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
     assert len(target_prompts) == B and images.shape[0] == B
     cfgs = list(cfgs) if cfgs is not None else [None] * B
     inv_cfgs = list(inv_cfgs) if inv_cfgs is not None else [None] * B
+
+    if isinstance(editor, InversionEditor):
+        # reconstruction-only sweep (e.g. COCO): B sources in one program
+        if editor.vae_rec:
+            latent = inv.encode(jnp.asarray(images))
+            image = inv.decode(latent)
+            return {"image": image, "image_inv": image,
+                    "latent": latent, "latent_inv": latent}
+        prompts = [p if editor.no_null_source_prompt else ""
+                   for p in source_prompts]
+        uncond = inv.embed_texts([""])
+        cond = inv.embed_texts(prompts)
+        ctx = jnp.concatenate([jnp.broadcast_to(uncond, cond.shape), cond], axis=0)
+        inv_res = inv.invert(jnp.asarray(images), context=ctx)
+        edit_res = inv.sample(inv_res, context=ctx)
+        return {"image": edit_res["image"], "image_inv": edit_res["image"],
+                "latent": edit_res["latent"], "latent_inv": edit_res["latent"]}
 
     # merged inversion config (per-sample word indices / masks stacked)
     widx = [((c or {}).get("edit_word_idx") or (None, None)) for c in inv_cfgs]

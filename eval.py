@@ -160,5 +160,6 @@ if __name__ == "__main__":
     parser.add_argument("--num_hosts", type=int, default=1)
     parser.add_argument("--batch", type=int, default=1,
                         help="Pair-batched editing: run N samples per compiled "
-                             "program (supported editors: simple/ptp/masactrl/pnp)")
+                             "program (supported editors: "
+                             "simple/ptp/masactrl/pnp/invedit)")
     main(parser.parse_args())

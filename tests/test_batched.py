@@ -106,6 +106,18 @@ def test_batched_etainv_ptp_runs(tiny_model):
                                   np.asarray(res2["image"]))
 
 
+@pytest.mark.parametrize("vae_rec", [False, True])
+def test_batched_invedit_matches_single(vae_rec, tiny_model):
+    imgs = images()
+    batched = run_batched("invedit", tiny_model, imgs, vae_rec=vae_rec)
+    for i in range(2):
+        single = run_single("invedit", tiny_model, imgs[i], SRCS[i], TGTS[i],
+                            vae_rec=vae_rec)
+        np.testing.assert_allclose(
+            np.asarray(batched["image"][i]), np.asarray(single["image"][0]),
+            rtol=2e-4, atol=2e-4)
+
+
 def test_batched_ddpminv_simple_runs(tiny_model):
     imgs = images()
     res = run_batched("simple", tiny_model, imgs, inverter="ddpminv")
