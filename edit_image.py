@@ -31,10 +31,14 @@ def main(args):
     from eta_inversion_tpu import load_editor, load_inverter
     from eta_inversion_tpu.models import load_diffusion_model
 
+    import json
+
     model, (preproc, postproc) = load_diffusion_model(args.model, dtype=args.dtype)
     inverter = load_inverter(model, args.inv_method,
-                             num_inference_steps=args.steps, seed=args.seed)
-    editor = load_editor(inverter, args.edit_method)
+                             num_inference_steps=args.steps, seed=args.seed,
+                             **json.loads(args.method_cfg))
+    editor = load_editor(inverter, args.edit_method,
+                         **json.loads(args.editor_cfg))
     image = preproc(args.input)
 
     cfg = None
@@ -53,6 +57,8 @@ def main(args):
         inv_cfg = {"edit_word_idx": (
             args.source_prompt.split(" ").index(edit_word[0]),
             args.target_prompt.split(" ").index(edit_word[1]))}
+    if args.edit_cfg:
+        cfg = {**(cfg or {}), **json.loads(args.edit_cfg)}
 
     t1 = time.time()
     res = editor.edit(image, args.source_prompt, args.target_prompt, cfg=cfg,
@@ -87,4 +93,13 @@ if __name__ == "__main__":
     add_argparse_arg(parser, "steps")
     add_argparse_arg(parser, "dtype")
     add_argparse_arg(parser, "seed")
+    parser.add_argument("--method_cfg", type=str, default="{}",
+                        help="JSON kwargs for the inversion method, e.g. "
+                             '\'{"scheduler": "dpm", "solver_order": 3}\'')
+    parser.add_argument("--editor_cfg", type=str, default="{}",
+                        help="JSON kwargs for the editor constructor, e.g. "
+                             '\'{"step": 1, "layer": 1}\'')
+    parser.add_argument("--edit_cfg", type=str, default=None,
+                        help="JSON per-edit cfg merged over the auto-built "
+                             'one, e.g. \'{"mode": "mask_auto"}\' (masactrl)')
     main(parser.parse_args())

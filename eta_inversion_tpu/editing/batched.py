@@ -116,7 +116,19 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
             target_prompt=list(target_prompts), inv_res=inv_res,
             **_merged_ptp_cfg(cfgs, B))
     elif isinstance(editor, MasactrlEditor):
-        ctrl = MasaCtrlController(inv, editor.step, editor.layer)
+        mcfgs = [dict(c or {}) for c in cfgs]
+        opts: Dict[str, Any] = {}
+        for key in ("mode", "thres", "ref_token_idx", "cur_token_idx"):
+            vals = [c[key] for c in mcfgs if key in c]
+            if vals:
+                assert all(v == vals[0] for v in vals), \
+                    f"batched masactrl requires equal {key} across samples"
+                opts[key] = vals[0]
+        for key in ("mask_s", "mask_t"):
+            vals = [c.get(key) for c in mcfgs]
+            if all(v is not None for v in vals):
+                opts[key] = jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+        ctrl = MasaCtrlController(inv, editor.step, editor.layer, **opts)
     elif isinstance(editor, PlugAndPlayEditor):
         ctrl = PnpController(inv, editor.pnp_f_t, editor.pnp_attn_t)
     elif isinstance(editor, SimpleEditor):

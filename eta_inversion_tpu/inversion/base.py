@@ -48,10 +48,13 @@ class DiffusionInversion:
                  num_inference_steps: Optional[int] = None,
                  guidance_scale_bwd: Optional[float] = None,
                  guidance_scale_fwd: Optional[float] = None,
-                 inv_steps: str = "sameshift", verbose: bool = False, seed: int = 0):
+                 inv_steps: str = "sameshift", verbose: bool = False, seed: int = 0,
+                 solver_order: int = 2):
         # defaults mirror the reference (diffusion_inversion.py:32-35)
         self.model = model
         self.scheduler_name = scheduler or "ddim"
+        assert solver_order in (1, 2, 3), solver_order
+        self.solver_order = solver_order  # dpm only
         self.num_inference_steps = num_inference_steps or 50
         self.guidance_scale_bwd = 7.5 if guidance_scale_bwd is None else guidance_scale_bwd
         self.guidance_scale_fwd = 1.0 if guidance_scale_fwd is None else guidance_scale_fwd
@@ -74,7 +77,8 @@ class DiffusionInversion:
         """Hashable engine configuration for the global compile cache."""
         return (type(self).__name__, self.model.name, str(self.model.dtype),
                 self.scheduler_name, self.num_inference_steps,
-                self.guidance_scale_bwd, self.guidance_scale_fwd, self.inv_steps)
+                self.guidance_scale_bwd, self.guidance_scale_fwd, self.inv_steps,
+                self.solver_order)
 
     @staticmethod
     def get_available_schedulers() -> List[str]:
@@ -307,16 +311,23 @@ class DiffusionInversion:
             prev = np.concatenate([ts[1:], [0]]).astype(np.int32)
         is_last = np.zeros(S, bool)
         is_last[-1] = True
+        is_second_last = np.zeros(S, bool)
+        if S >= 2:
+            is_second_last[-2] = True
         return {"dpm_prev_t": jnp.asarray(prev),
-                "dpm_is_last": jnp.asarray(is_last)}
+                "dpm_is_last": jnp.asarray(is_last),
+                "dpm_is_second_last": jnp.asarray(is_second_last)}
 
     def _apply_scheduler_step(self, is_fwd: bool, carry, eps, t, latent, inp, rng):
         """Dispatch ddim-family vs dpm multistep; returns (latent, carry_upd)."""
         if self.scheduler_name == "dpm":
-            state = {k: carry[k] for k in ("dpm_m_prev", "dpm_t_prev", "dpm_low")}
+            state = {k: carry[k] for k in ("dpm_m_prev", "dpm_t_prev",
+                                           "dpm_m_prev2", "dpm_t_prev2",
+                                           "dpm_low")}
             new_latent, new_state = dpm_step(
                 self.schedule, state, latent, eps, t, inp["dpm_prev_t"],
-                inp["dpm_is_last"], False)
+                inp["dpm_is_last"], inp["dpm_is_second_last"],
+                solver_order=self.solver_order)
             return new_latent, new_state
         if is_fwd:
             return self.step_forward(eps, t, latent, inp, rng), {}

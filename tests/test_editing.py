@@ -91,6 +91,55 @@ def test_masactrl_differs_from_simple(tiny_model, test_image):
     assert run_edit("masactrl", tiny_model, test_image) == b
 
 
+def _masactrl_mean(model, image, **cfg):
+    inv = load_inverter(model, "diffinv", num_inference_steps=STEPS)
+    editor = load_editor(inv, "masactrl", layer=1, step=1)
+    res = editor.edit(jnp.asarray(image), SRC, TGT, cfg=cfg or None)
+    return float(np.asarray(res["image"]).mean())
+
+
+def test_masactrl_union_inactive_equals_plain(tiny_model, test_image):
+    """With the gate never active, the union variant's own-half probability
+    renormalization over duplicated/concat keys must be EXACTLY plain
+    attention (softmax(sim+log m) == p*m/sum(p*m) identity)."""
+    inv = load_inverter(tiny_model, "diffinv", num_inference_steps=STEPS)
+    editor = load_editor(inv, "masactrl", layer=1, step=STEPS + 1)
+    res = editor.edit(jnp.asarray(test_image), SRC, TGT, cfg={"mode": "union"})
+    b = run_edit("simple", tiny_model, test_image)
+    assert float(np.asarray(res["image"]).mean()) == pytest.approx(b, abs=2e-6)
+
+
+def test_masactrl_variants(tiny_model, test_image):
+    base = _masactrl_mean(tiny_model, test_image)
+    union = _masactrl_mean(tiny_model, test_image, mode="union")
+    assert union != base  # union keys genuinely change the target branch
+
+    # all-foreground masks: fg renormalization over all keys is the identity,
+    # so mask mode must equal plain k/v substitution exactly
+    ones = np.ones((8, 8), np.float32)
+    masked_ones = _masactrl_mean(tiny_model, test_image, mode="mask",
+                                 mask_s=ones, mask_t=ones)
+    assert masked_ones == pytest.approx(base, abs=2e-6)
+
+    # a real fg/bg split changes the result
+    half = np.zeros((8, 8), np.float32)
+    half[:, :4] = 1.0
+    masked = _masactrl_mean(tiny_model, test_image, mode="mask",
+                            mask_s=half, mask_t=half)
+    assert masked != base
+
+    # thres=0 binarizes every auto-mask to all-foreground -> same identity
+    auto_ones = _masactrl_mean(tiny_model, test_image, mode="mask_auto",
+                               thres=0.0)
+    assert auto_ones == pytest.approx(base, abs=2e-6)
+
+    # a real threshold derives a nontrivial mask from cross-attention
+    auto = _masactrl_mean(tiny_model, test_image, mode="mask_auto", thres=0.5)
+    assert np.isfinite(auto)
+    assert auto == _masactrl_mean(tiny_model, test_image, mode="mask_auto",
+                                  thres=0.5)  # deterministic
+
+
 def test_pnp_source_branch_unconditional(tiny_model, test_image):
     res = run_edit("pnp", tiny_model, test_image)
     assert res is not None

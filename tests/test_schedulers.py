@@ -136,6 +136,84 @@ def test_dpm_first_step_is_first_order():
     np.testing.assert_allclose(np.asarray(new_state["dpm_m_prev"]), np.asarray(x0))
 
 
+def test_dpm_third_order():
+    """Order-3 update: degenerate with equal model outputs (D1=D2=0 -> equals
+    first order exactly), nontrivial otherwise, and warmup-gated."""
+    from eta_inversion_tpu.schedulers.dpm import (
+        convert_eps_to_x0,
+        dpm_init_state,
+        dpm_step,
+    )
+
+    s = make_schedule(20)  # >= 15 steps: no lower_order_final ramp-down
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 8, 8, 4))
+    eps = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    t, prev_t = jnp.asarray(500), jnp.asarray(450)
+
+    # warmed state with both previous x0 predictions equal to this step's
+    m0 = convert_eps_to_x0(s, x, eps, t)
+    state = dpm_init_state(x.shape)
+    state.update(dpm_m_prev=m0, dpm_t_prev=jnp.asarray(550, jnp.int32),
+                 dpm_m_prev2=m0, dpm_t_prev2=jnp.asarray(600, jnp.int32),
+                 dpm_low=jnp.asarray(3, jnp.int32))
+    out3, st3 = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                         jnp.asarray(False), solver_order=3)
+    out1, _ = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                       jnp.asarray(False), solver_order=1)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st3["dpm_m_prev2"]),
+                               np.asarray(state["dpm_m_prev"]))
+
+    # distinct previous outputs: order 3 differs from order 2
+    state["dpm_m_prev2"] = m0 + 0.3
+    state["dpm_m_prev"] = m0 - 0.2
+    out3b, _ = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                        jnp.asarray(False), solver_order=3)
+    out2b, _ = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                        jnp.asarray(False), solver_order=2)
+    assert not np.allclose(np.asarray(out3b), np.asarray(out2b))
+
+    # warmup: with dpm_low=1 an order-3 request must take the order-2 branch
+    state["dpm_low"] = jnp.asarray(1, jnp.int32)
+    out_w, _ = dpm_step(s, state, x, eps, t, prev_t, jnp.asarray(False),
+                        jnp.asarray(False), solver_order=3)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(out2b), rtol=1e-6)
+
+
+def test_dpm_order3_end_to_end(tiny_model, test_image):
+    from eta_inversion_tpu import load_inverter
+
+    inv3 = load_inverter(tiny_model, "diffinv", scheduler="dpm",
+                         num_inference_steps=5, solver_order=3)
+    res3 = inv3.invert_sample(jnp.asarray(test_image), "a cat")
+    m3 = float(np.asarray(res3["image"]).mean())
+    assert np.isfinite(m3)
+    inv2 = load_inverter(tiny_model, "diffinv", scheduler="dpm",
+                         num_inference_steps=5, solver_order=2)
+    res2 = inv2.invert_sample(jnp.asarray(test_image), "a cat")
+    assert m3 != float(np.asarray(res2["image"]).mean())
+
+
+def test_slerp():
+    from eta_inversion_tpu.utils.math_utils import slerp, slerp_tensor
+
+    key = jax.random.PRNGKey(0)
+    low = jax.random.normal(key, (2, 16))
+    high = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    np.testing.assert_allclose(np.asarray(slerp(0.0, low, high)),
+                               np.asarray(low), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(slerp(1.0, low, high)),
+                               np.asarray(high), rtol=1e-5, atol=1e-6)
+    # unit vectors stay unit under slerp
+    lu = low / np.linalg.norm(low, axis=1, keepdims=True)
+    hu = high / np.linalg.norm(high, axis=1, keepdims=True)
+    mid = np.asarray(slerp(0.5, jnp.asarray(lu), jnp.asarray(hu)))
+    np.testing.assert_allclose(np.linalg.norm(mid, axis=1), 1.0, rtol=1e-5)
+    out = slerp_tensor(0.3, low.reshape(2, 4, 4), high.reshape(2, 4, 4))
+    assert out.shape == (2, 4, 4)
+
+
 def test_ddpm_trajectory_and_step():
     s = make_schedule(10)
     x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
