@@ -43,12 +43,15 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
                ) -> Optional[Dict[str, Any]]:
     """Run B edits through `editor` in one batched program.
 
-    Supported editors: simple, ptp (ControllerBasedEditor), masactrl, pnp.
-    Returns {"image", "image_inv", "latent", "latent_inv"} with leading dim B.
+    Supported editors: simple, ptp (ControllerBasedEditor), masactrl, pnp,
+    invedit, pix2pix_zero.  Returns {"image", "image_inv", "latent",
+    "latent_inv"} with leading dim B (pix2pix_zero, like its single-sample
+    edit(), has no reconstruction output and returns {"image", "latent"}).
     """
     from .editor import ControllerBasedEditor
     from .inv_editor import InversionEditor
     from .masactrl import MasaCtrlController, MasactrlEditor
+    from .pix2pix_zero import Pix2PixZeroEditor
     from .pnp import PlugAndPlayEditor, PnpController
     from .simple import SimpleEditor
 
@@ -81,6 +84,37 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
     inv_cfg: Dict[str, Any] = {"edit_word_idx": widx}
     if all(m is not None for m in masks):
         inv_cfg["mask"] = jnp.stack([jnp.asarray(m, jnp.float32) for m in masks])
+
+    if isinstance(editor, Pix2PixZeroEditor):
+        from ..inversion.direct import DirectInversion
+        from ..inversion.edict import EdictInversion
+        from ..inversion.eta import EtaInversion
+
+        if isinstance(inv, (DirectInversion, EtaInversion)):
+            return None  # incompatible (reference pix2pix_zero.py:300-301)
+        caps = []
+        for i, c in enumerate(cfgs):
+            cap = dict(c or {}).get("caption")
+            if cap is None:
+                cap = editor.generate_caption(images[i: i + 1]) \
+                    if editor.gen_caption else ""
+            caps.append(cap)
+        cap_emb = inv.embed_texts(caps)  # caption is also the negative prompt
+        src_ctx = jnp.concatenate([cap_emb, cap_emb], axis=0)
+        dirs = jnp.concatenate(
+            [editor.construct_direction(s, t)
+             for s, t in zip(source_prompts, target_prompts)], axis=0)
+        tgt_ctx = src_ctx.at[B:].add(dirs)
+        inv_res = inv.invert(jnp.asarray(images), context=src_ctx,
+                             guidance_scale_fwd=1, inv_cfg=inv_cfg)
+        if inv_res is None:
+            return None
+        if isinstance(inv, EdictInversion):
+            z0 = editor._joint_backward_edict(inv_res, src_ctx, tgt_ctx)
+        else:
+            z0 = editor._joint_backward(inv_res, src_ctx, tgt_ctx)
+        image = inv.decode(z0)
+        return {"image": image, "latent": z0}
 
     # contexts: source prompts for inversion (conditional rows only at CFG=1)
     uncond = inv.embed_texts([""])

@@ -141,13 +141,16 @@ class Pix2PixZeroEditor(Editor):
                         inv.guidance_scale_bwd, hooks=hooks, collect_store=True,
                         inp=inp, force_full_cfg=True)
                     # diffusers Pix2PixZeroL2Loss: sum over (seq, key) dims,
-                    # mean over batch*heads
+                    # mean over batch*heads.  The reference only ever runs
+                    # batch 1; with B pair-batched samples the mean's 1/(2Bh)
+                    # would shrink each sample's gradient by 1/B, so scale by
+                    # B to keep batched == per-sample exactly.
                     loss = 0.0
                     for key, ref in src_store.items():
                         m = store[key].reshape(-1, *store[key].shape[-2:])
                         r = jax.lax.stop_gradient(ref).reshape(m.shape)
                         loss = loss + ((m - r) ** 2).sum((1, 2)).mean(0)
-                    return loss
+                    return loss * src0.shape[0]
 
                 lat2 = jnp.concatenate([carry["tgt"], carry["tgt"]], axis=0)
                 g = jax.grad(loss_fn)(lat2)
@@ -221,7 +224,7 @@ class Pix2PixZeroEditor(Editor):
                             m = store[key].reshape(-1, *store[key].shape[-2:])
                             r = jax.lax.stop_gradient(ref).reshape(m.shape)
                             loss = loss + ((m - r) ** 2).sum((1, 2)).mean(0)
-                        return loss
+                        return loss * other_t.shape[0]  # see _joint_backward
 
                     lat2 = jnp.concatenate([other_t, other_t], axis=0)
                     g = jax.grad(loss_fn)(lat2)

@@ -128,7 +128,9 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         res = state["editor"].edit(image, sample["source_prompt"],
                                    sample["edit"]["target_prompt"], cfg=edit_cfg,
                                    inv_cfg=inv_cfg)
-        if res is not None:
+        if res is None:
+            print(f"[{i}] combination unsupported, skipping")
+        else:
             save(sample, res["image"], i)
 
 
@@ -160,6 +162,6 @@ if __name__ == "__main__":
     parser.add_argument("--num_hosts", type=int, default=1)
     parser.add_argument("--batch", type=int, default=1,
                         help="Pair-batched editing: run N samples per compiled "
-                             "program (supported editors: "
-                             "simple/ptp/masactrl/pnp/invedit)")
+                             "program (supported editors: simple/ptp/"
+                             "masactrl/pnp/invedit/pix2pix_zero)")
     main(parser.parse_args())

@@ -123,3 +123,37 @@ def test_batched_ddpminv_simple_runs(tiny_model):
     res = run_batched("simple", tiny_model, imgs, inverter="ddpminv")
     assert res["image"].shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(res["image"])).all()
+
+
+def test_batched_pix2pix_zero_matches_single(tiny_model):
+    """The joint source/target scan is batch-transparent: the attention-map
+    L2 loss is per-sample (scaled mean), so gradients don't mix samples."""
+    imgs = images()
+    batched = run_batched("pix2pix_zero", tiny_model, imgs)
+    assert set(batched) == {"image", "latent"}
+    for i in range(2):
+        single = run_single("pix2pix_zero", tiny_model, imgs[i], SRCS[i],
+                            TGTS[i])
+        np.testing.assert_allclose(
+            np.asarray(batched["image"][i]), np.asarray(single["image"][0]),
+            rtol=2e-4, atol=2e-4, err_msg=f"pix2pix_zero pair {i}")
+
+
+def test_batched_pix2pix_zero_edict_runs(tiny_model):
+    """edict decode flattens both pair slots: rows [slot0 x B, slot1 x B]."""
+    imgs = images()
+    res = run_batched("pix2pix_zero", tiny_model, imgs, inverter="edict")
+    assert res["image"].shape == (4, 16, 16, 3)
+    assert res["latent"].shape[:2] == (2, 2)  # (pair, B, ...)
+    assert np.isfinite(np.asarray(res["image"])).all()
+    # per-sample parity with the single-sample edict composition
+    single = run_single("pix2pix_zero", tiny_model, imgs[0], SRCS[0], TGTS[0],
+                        inverter="edict")
+    np.testing.assert_allclose(np.asarray(res["image"][0]),
+                               np.asarray(single["image"][0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_batched_pix2pix_zero_incompatible_returns_none(tiny_model):
+    assert run_batched("pix2pix_zero", tiny_model, images(),
+                       inverter="etainv") is None
