@@ -198,6 +198,22 @@ GRID = [
     ("npi", "pnp"),
     ("dirinv", "invedit"),
     ("edict", "pix2pix_zero"),  # per-slot attention guidance in the pair scan
+    # second tier: the rest of the reference's inverter x editor grid
+    ("dirinv", "ptp"),      # the classic dirinv evaluation combination
+    ("proxnpi", "ptp"),
+    ("proxnpi", "simple"),
+    ("nti", "simple"),
+    ("nti", "masactrl"),    # optimized uncond inside the masactrl sample
+    ("nti", "invedit"),
+    ("npi", "simple"),
+    ("cyclediff", "ptp"),
+    ("cyclediff", "pnp"),
+    ("regdiffinv", "ptp"),
+    ("etainv", "simple"),   # fwd eta masks without a ptp controller
+    ("ddpminv", "pnp"),
+    ("ddpminv", "invedit"),
+    ("edict", "masactrl"),  # k/v substitution inside the coupled-pair scan
+    ("edict", "invedit"),
 ]
 
 
