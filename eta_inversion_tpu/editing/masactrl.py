@@ -84,7 +84,6 @@ class MasaCtrlHooks(AttnHooks):
     ref_token_idx: Tuple[int, ...] = (1,)
     cur_token_idx: Tuple[int, ...] = (1,)
     auto_map_res: int = 16
-    total_layers: int = 16
     # trace-time accumulator: cross-attention maps of the current UNet call so
     # far, in layer order (the reference appends per patched forward and clears
     # in after_step, masactrl.py:227-229,280-282)

@@ -18,9 +18,12 @@ def main(args):
     from eta_inversion_tpu import load_inverter
     from eta_inversion_tpu.models import load_diffusion_model
 
+    import json
+
     model, (preproc, postproc) = load_diffusion_model(args.model, dtype=args.dtype)
     inverter = load_inverter(model, args.inv_method,
-                             num_inference_steps=args.steps, seed=args.seed)
+                             num_inference_steps=args.steps, seed=args.seed,
+                             **json.loads(args.method_cfg))
     image = preproc(args.input)
 
     t1 = time.time()
@@ -48,4 +51,7 @@ if __name__ == "__main__":
     add_argparse_arg(parser, "steps")
     add_argparse_arg(parser, "dtype")
     add_argparse_arg(parser, "seed")
+    parser.add_argument("--method_cfg", type=str, default="{}",
+                        help="JSON kwargs for the inversion method, e.g. "
+                             '\'{"scheduler": "dpm", "solver_order": 3}\'')
     main(parser.parse_args())
