@@ -95,3 +95,36 @@ def test_batched_sharded_edit(tiny_model):
     res = SimpleEditor(engine1).edit(images[3:4], srcs[3], tgts[3])
     np.testing.assert_allclose(batched[3], np.asarray(res["image"][0]),
                                rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_batched_hook_editor_sharded(tiny_model, model_parallel):
+    """Pair-batched ptp (a hook-carrying editor) under the device mesh: the
+    conditional-half pair layout shards over the data axis and must match an
+    unsharded single-sample run."""
+    from eta_inversion_tpu import load_editor, load_inverter
+    from eta_inversion_tpu.editing.batched import edit_batch
+
+    mesh = make_mesh(8, model_parallel=model_parallel)
+    params = shard_params(tiny_model.params, mesh)
+    model = DiffusionModel(tiny_model.preset, params, tiny_model.tokenizer,
+                           dtype=tiny_model.dtype,
+                           schedule=tiny_model.schedule_config)
+    rs = np.random.RandomState(7)
+    images = jnp.asarray(rs.rand(8, 16, 16, 3).astype("float32") * 2 - 1)
+    srcs = [f"a cat number {i}" for i in range(8)]
+    tgts = [f"a tiger number {i}" for i in range(8)]
+    cfg = {"is_replace_controller": True, "cross_replace_steps": 0.8,
+           "self_replace_steps": 0.5}
+    with mesh:
+        inv = load_inverter(model, "diffinv", num_inference_steps=3)
+        editor = load_editor(inv, "ptp")
+        res = edit_batch(editor, images, srcs, tgts, cfgs=[cfg] * 8)
+        out = np.asarray(res["image"])
+    assert out.shape == (8, 16, 16, 3) and np.isfinite(out).all()
+
+    inv1 = load_inverter(tiny_model, "diffinv", num_inference_steps=3)
+    single = load_editor(inv1, "ptp").edit(images[3:4], srcs[3], tgts[3],
+                                           cfg=cfg)
+    np.testing.assert_allclose(out[3], np.asarray(single["image"][0]),
+                               rtol=5e-4, atol=5e-5)
