@@ -56,3 +56,39 @@ def trace(log_dir: Optional[str] = "/tmp/jax-trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+# v5e per-chip peaks (bf16 MXU / HBM); override for other targets
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BW = 819e9
+
+
+def cost_analysis(fn, *args, **kwargs) -> Dict[str, float]:
+    """XLA's compiled cost model for `jit(fn)(*args)`: flops, bytes accessed,
+    arithmetic intensity, and roofline-minimum runtime."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    out = {"flops": flops, "bytes": byts}
+    if byts:
+        out["arith_intensity"] = flops / byts
+    out["roofline_ms"] = max(flops / V5E_PEAK_FLOPS,
+                             byts / V5E_PEAK_BW) * 1e3
+    return out
+
+
+def format_cost(name: str, cost: Dict[str, float],
+                measured_ms: Optional[float] = None) -> str:
+    s = (f"{name:24s} {cost['flops'] / 1e12:8.2f} TFLOP  "
+         f"{cost['bytes'] / 1e9:8.2f} GB  "
+         f"AI={cost.get('arith_intensity', 0):6.1f}  "
+         f"roofline>={cost['roofline_ms']:8.2f} ms")
+    if measured_ms is not None:
+        s += (f"  measured={measured_ms:8.2f} ms "
+              f"({cost['roofline_ms'] / measured_ms * 100:4.1f}% of roofline)")
+    return s

@@ -145,6 +145,23 @@ def test_phase_timer():
     assert t.counts["x"] == 2 and "x" in t.summary()
 
 
+def test_cost_analysis():
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.utils.profiling import cost_analysis, format_cost
+
+    def f(a, b):
+        return a @ b
+
+    a = jnp.ones((128, 128), jnp.float32)
+    cost = cost_analysis(f, a, a)
+    # 2*N^3 flops for a square matmul
+    assert cost["flops"] == pytest.approx(2 * 128 ** 3, rel=0.2)
+    assert cost["roofline_ms"] > 0
+    line = format_cost("mm", cost, measured_ms=1.0)
+    assert "TFLOP" in line and "roofline" in line and "measured" in line
+
+
 def test_edit_metric_facade_routing():
     a, b = images()
     for name in ["mse", "psnr", "ssim", "msssim", "lpips"]:
