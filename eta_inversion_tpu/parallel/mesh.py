@@ -23,9 +23,19 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} available ({devices[0].platform!r} platform)")
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n == 0:
+        raise ValueError("make_mesh: no JAX devices available")
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"make_mesh: {n} available device(s) not divisible by "
+            f"model_parallel={model_parallel}"
+            + (f" (requested n_devices={n_devices})" if n_devices else ""))
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 

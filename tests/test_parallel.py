@@ -128,3 +128,22 @@ def test_batched_hook_editor_sharded(tiny_model, model_parallel):
                                            cfg=cfg)
     np.testing.assert_allclose(out[3], np.asarray(single["image"][0]),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """Run dryrun_multichip exactly the way the driver does: a clean shell
+    with no XLA_FLAGS pre-set and the ambient (possibly single-device)
+    platform — the entry point must self-provision the virtual CPU mesh.
+    Regression for the round-1 MULTICHIP rc=1."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout, proc.stdout
