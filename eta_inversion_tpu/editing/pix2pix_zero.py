@@ -17,9 +17,10 @@ both trajectories here advance in ONE `lax.scan` — each step uses the source
 maps of the same step directly from the live computation, so nothing is ever
 stored across steps.  The math is identical.
 
-BLIP captioning is environment-gated (zero egress -> no BLIP weights): pass
-`caption` in the edit cfg, supply a `caption_fn`, or set gen_caption=False to
-use the reference's fallback "" caption.
+Captioning uses the Flax BLIP captioner (models/blip.py; random init offline —
+no BLIP weights in this zero-egress environment).  Pass `caption` in the edit
+cfg or supply a `caption_fn` to override; gen_caption=False uses the
+reference's fallback "" caption.
 """
 
 from __future__ import annotations
@@ -55,9 +56,14 @@ class Pix2PixZeroEditor(Editor):
     def generate_caption(self, image) -> str:
         if self.caption_fn is not None:
             return self.caption_fn(image)
-        # BLIP weights are unavailable offline; reference uses
-        # Salesforce/blip-image-captioning-base (:243-297).
-        return ""
+        # Flax BLIP captioner, HF generate() convention: the "a photography
+        # of" prompt stays in the caption (reference :243-297).  Offline the
+        # captioner is deterministic random init (no BLIP weights exist in
+        # this zero-egress environment); tiny diffusion models pair with the
+        # tiny captioner so tests stay fast.
+        from ..models.blip import captioner_preset_for_model, get_blip_captioner
+
+        return get_blip_captioner(captioner_preset_for_model(self.model.name))(image)
 
     def construct_direction(self, source_prompts, target_prompts) -> jnp.ndarray:
         """Mean target embedding - mean source embedding (reference :250-271)."""

@@ -7,8 +7,8 @@ accuracy variants (target-prompt similarity > source-prompt similarity).
 
 Offline notes: CLIP ViT-B/16 weights are loaded from a local .npz when
 available, else deterministic random init (self-consistent values); the
-text_text metric needs a captioner (BLIP in the reference) — supply
-`caption_fn` or it degrades to using the target image's source prompt.
+text_text metric captions with the Flax BLIP captioner (models/blip.py) by
+default — pass `caption_fn` to override, `captioner="tiny"` for tests.
 """
 
 from __future__ import annotations
@@ -131,12 +131,14 @@ class CLIPSimilarity(SimpleMetric):
     def __init__(self, input_range: Tuple[float, float] = (-1, 1),
                  device: Optional[str] = None, use_imagenet_templates: bool = False,
                  metric: str = "text_img", clip_model: str = "ViT-B/16",
-                 caption_fn: Optional[Callable] = None, backbone_kwargs=None):
+                 caption_fn: Optional[Callable] = None, backbone_kwargs=None,
+                 captioner: str = "base"):
         assert metric in ("text_img", "img_img", "text_text", "textdir_imgdir")
         super().__init__(input_range, device)
         self.metric = metric
         self.templates = IMAGENET_TEMPLATES if use_imagenet_templates else ["{}"]
         self.caption_fn = caption_fn
+        self.captioner = captioner  # BLIP preset used when caption_fn is None
         self.backbone = get_clip_backbone(**(backbone_kwargs or {}))
 
     def img_feat(self, image):
@@ -159,12 +161,18 @@ class CLIPSimilarity(SimpleMetric):
             b = self.txt_feat(target_prompt) - self.txt_feat(source_prompt)
         elif self.metric == "text_text":
             if self.caption_fn is None:
-                # BLIP unavailable offline; degrade to the source prompt as the
-                # "caption" (documented deviation — reference uses lavis BLIP,
-                # clip_similarity.py:126-158)
-                caption = source_prompt or ""
-            else:
-                caption = self.caption_fn(target_image)
+                # BLIP captioner, LAVIS convention: prompt "a picture of"
+                # stripped from the caption (reference clip_similarity.py:
+                # 128-157). Offline (no BLIP weights) the captioner is
+                # deterministic random init, so captions are self-consistent
+                # token strings rather than English.
+                from ..models.blip import get_blip_captioner
+
+                cap = get_blip_captioner(self.captioner)
+                self.caption_fn = lambda img: cap.caption(
+                    self._normalize(jnp.asarray(img)) * 2.0 - 1.0,
+                    prompt="a picture of", include_prompt=False)[0]
+            caption = self.caption_fn(target_image)
             a = self.txt_feat(caption)
             b = self.txt_feat(target_prompt)
         return jnp.dot(a, b)

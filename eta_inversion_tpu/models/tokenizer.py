@@ -204,6 +204,91 @@ class HashTokenizer(TokenizerBase):
         return " ".join(f"<tok{int(i)}>" for i in ids)
 
 
+class WordPieceTokenizer(TokenizerBase):
+    """BERT WordPiece tokenizer loading a local vocab.txt (one token per line,
+    line number = id) — the BLIP captioner's text vocabulary.  Greedy
+    longest-match-first subword segmentation, lowercased (bert-base-uncased
+    convention, which BLIP uses)."""
+
+    def __init__(self, vocab_path: str):
+        with open(vocab_path, "r", encoding="utf-8") as f:
+            tokens = [line.rstrip("\n") for line in f]
+        self.encoder = {t: i for i, t in enumerate(tokens)}
+        self.decoder = {i: t for i, t in enumerate(tokens)}
+        self.vocab_size = len(tokens)
+        self.pad_token_id = self.encoder.get("[PAD]", 0)
+        self.bos_token_id = self.encoder.get("[CLS]", 101)
+        self.eos_token_id = self.encoder.get("[SEP]", 102)
+        self.unk_token_id = self.encoder.get("[UNK]", 100)
+
+    def encode(self, text: str) -> List[int]:
+        text = _whitespace_clean(text).lower()
+        ids: List[int] = []
+        for word in re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text):
+            start, pieces = 0, []
+            while start < len(word):
+                end = len(word)
+                piece = None
+                while start < end:
+                    sub = word[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in self.encoder:
+                        piece = sub
+                        break
+                    end -= 1
+                if piece is None:
+                    pieces = None
+                    break
+                pieces.append(self.encoder[piece])
+                start = end
+            ids.extend(pieces if pieces is not None else [self.unk_token_id])
+        return ids
+
+    def decode(self, ids) -> str:
+        if isinstance(ids, (int, np.integer)):
+            ids = [int(ids)]
+        words: List[str] = []
+        for i in ids:
+            t = self.decoder.get(int(i), "")
+            if t.startswith("##") and words:
+                words[-1] += t[2:]
+            elif t and not (t.startswith("[") and t.endswith("]")):
+                words.append(t)
+        return " ".join(words)
+
+
+class HashWordTokenizer(HashTokenizer):
+    """Hash fallback with caller-chosen special ids kept out of the hash range
+    (BLIP's pad/[DEC]/[SEP] live at both ends of its vocab)."""
+
+    def __init__(self, vocab_size: int, specials: Sequence[int] = ()):
+        super().__init__(vocab_size=vocab_size)
+        self.specials = set(int(s) for s in specials)
+
+    def encode(self, text: str) -> List[int]:
+        text = _whitespace_clean(text).lower()
+        words = re.findall(_CLIP_PAT, text)
+        mod = self.vocab_size
+        out = []
+        for w in words:
+            h = self._hash_word(w, mod)
+            while h in self.specials:  # deterministic re-probe off specials
+                h = (h + 1) % mod
+            out.append(h)
+        return out
+
+
+def load_wordpiece_tokenizer(vocab_path: str | None = None,
+                             vocab_size: int = 30524,
+                             specials: Sequence[int] = ()) -> TokenizerBase:
+    """BLIP text tokenizer: real WordPiece if a vocab.txt exists locally,
+    else the deterministic hash fallback."""
+    if vocab_path and os.path.exists(vocab_path):
+        return WordPieceTokenizer(vocab_path)
+    return HashWordTokenizer(vocab_size=vocab_size, specials=specials)
+
+
 def load_tokenizer(vocab_dir: str | None = None, vocab_size: int = 49408) -> TokenizerBase:
     """Load the CLIP BPE tokenizer if vocab files exist, else the hash fallback."""
     if vocab_dir:
