@@ -181,11 +181,11 @@ class PtpHooks(AttnHooks):
     do_edit: bool = True
 
     def wants_probs(self, meta: AttnLayerMeta) -> bool:
-        if not self.do_edit:
-            return False
-        if meta.is_cross:
-            return True
-        return meta.res * meta.res <= self.attn_replace_thres
+        # Only cross-attention needs materialized probabilities (word-level
+        # alpha blending).  Self-attention replacement is algebraically a q/k
+        # substitution (see `qkv`), so the (B, H, hw, hw) probs tensor — 1024^2
+        # per head at the 32x32 threshold resolution — is never built.
+        return self.do_edit and meta.is_cross
 
     def store(self, meta: AttnLayerMeta) -> bool:
         return meta.store_key in self.store_keys
@@ -194,23 +194,46 @@ class PtpHooks(AttnHooks):
         """Pair-batched: base (B, H, hw, 77) sources; repl (B, H, hw, 77)
         targets (B = layout.n_pairs; the reference's single edit is B=1)."""
         if self.mode == "replace":
-            new = jnp.einsum("bhpw,bwn->bhpn", base, self.mapper_mat)
+            new = jnp.einsum("bhpw,bwn->bhpn", base,
+                             self.mapper_mat.astype(base.dtype))
         elif self.mode == "refine":
             idx = self.mapper_idx[:, None, None, :]  # (B, 1, 1, 77)
             gathered = jnp.take_along_axis(
                 base, jnp.broadcast_to(idx, base.shape[:3] + (idx.shape[-1],)),
                 axis=-1)
-            a = self.refine_alphas[:, None, None, :]
+            a = self.refine_alphas[:, None, None, :].astype(base.dtype)
             new = gathered * a + repl * (1 - a)
         else:
             new = repl
         if self.equalizer is not None:
             # reference AttentionReweight: scale the (possibly replaced) base
-            new = new * self.equalizer[:, None, None, :]
+            new = new * self.equalizer[:, None, None, :].astype(base.dtype)
         return new
 
+    def qkv(self, meta: AttnLayerMeta, q, k, v):
+        """Self-attention replacement as q/k substitution: replacing a target
+        row's probability map with the source row's (reference
+        replace_self_attention, ptp.py:194-199) equals computing
+        softmax(q_src k_src^T) v_tgt — so substitute q and k of the target
+        cond rows and let the (unmaterialized) attention kernel do the rest."""
+        if (not self.do_edit or meta.is_cross or self.layout.n_prompts < 2
+                or meta.res * meta.res > self.attn_replace_thres):
+            return q, k, v
+        n = self.layout.cond_start
+        B = self.layout.n_pairs
+
+        def subst(x):
+            base, repl = x[n: n + B], x[n + B:]
+            reps = repl.shape[0] // B
+            base_t = jnp.tile(base, (reps,) + (1,) * (base.ndim - 1)) \
+                if reps > 1 else base
+            new = jnp.where(self.self_gate, base_t, repl)
+            return jnp.concatenate([x[: n + B], new], axis=0)
+
+        return subst(q), subst(k), v
+
     def probs(self, meta: AttnLayerMeta, p):
-        if not self.do_edit:
+        if not self.do_edit or not meta.is_cross:
             return p
         n = self.layout.cond_start
         if self.layout.n_prompts < 2:
@@ -218,15 +241,10 @@ class PtpHooks(AttnHooks):
         B = self.layout.n_pairs
         cond = p[n:]
         base, repl = cond[:B], cond[B:]
-        if meta.is_cross:
-            a = self.alpha_i  # (B, 1, 1, 77)
-            new = self.replace_cross(base, repl)
-            new = new * a + (1 - a) * repl
-            return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
-        if meta.res * meta.res <= self.attn_replace_thres:
-            new = jnp.where(self.self_gate, base, repl)
-            return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
-        return p
+        a = self.alpha_i.astype(p.dtype)  # (B, 1, 1, 77)
+        new = self.replace_cross(base, repl)
+        new = new * a + (1 - a) * repl
+        return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
 
 
 # ---------------------------------------------------------------------------

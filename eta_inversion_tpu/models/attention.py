@@ -55,7 +55,12 @@ class CrossAttention(nn.Module):
             hooks.wants_probs(self.meta) or hooks.store(self.meta)
         )
         if materialize:
-            p = attention_probs(q, k, scale)  # (B, H, S, Sk) fp32
+            # fp32 softmax, then probability edits/stores/PV in the compute
+            # dtype: at SD's 64x64 cross layers the probs tensor is
+            # (32, 8, 4096, 77) — keeping it fp32 through the hook path
+            # doubles its HBM traffic for no accuracy the PV matmul (already
+            # bf16) would keep.
+            p = attention_probs(q, k, scale).astype(self.dtype)
             if hooks.store(self.meta):
                 # reference stores (B*H, S, Sk) maps summed over steps
                 # (ptp.py:143-183); we sow per-layer and let the engine reduce.

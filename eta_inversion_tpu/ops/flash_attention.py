@@ -8,8 +8,9 @@ online-softmax Pallas kernel (HBM -> VMEM tiles feeding the MXU), and the probs
 tensor only exists for layers where an editing hook actually asks for it (those
 are all <= 32x32 = 1024 tokens, or cross-attention with 77 keys — tiny).
 
-Kernel shape contract: q, k, v are (BH, S, D) with D padded to a multiple of 128
-and S a multiple of the block size.  The dispatcher handles padding/fallback.
+Kernel shape contract: q, k, v are (BH, S, D) with S a multiple of the block
+size; D is used natively (whole-dim blocks — Mosaic pads the MXU contraction
+in registers, so no HBM-level padding is ever paid).
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
-    """Flash attention over (BH, S, D) inputs. S % block == 0, D % 128 == 0."""
+    """Flash attention over (BH, S, D) inputs. S % block == 0; D native."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     kt = jnp.swapaxes(k, 1, 2)  # (BH, D, S); cheap XLA transpose, reused by
@@ -84,10 +85,6 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int
             transcendentals=bh * sq * sk,
         ),
     )(q, kt, v)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def on_tpu() -> bool:
@@ -124,19 +121,18 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048)
     if not use_flash:
         return xla_attention(q, k, v, scale)
 
-    dp = _round_up(d, 128)
+    # head_dim stays NATIVE (no HBM pad to 128): the kernel's block specs take
+    # the full d per program, so Mosaic pads only in registers.  At SD's d=40
+    # this removes 3 pads + a 3.2x-inflated kt transpose per call — measured
+    # 24.4 -> 21.4 ms/call end-to-end at (B,H,S,D)=(32,8,4096,40) on v5e
+    # (scripts/flash_sweep.py; block_k=2048 included in that win).
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
-    if dp != d:
-        pad = [(0, 0), (0, 0), (0, dp - d)]
-        qf, kf, vf = (jnp.pad(x, pad) for x in (qf, kf, vf))
-    # block sizes from an on-chip sweep at SD shapes (v5e, S=4096, D=128):
-    # small BH prefers smaller q blocks; K blocks of 1024 win across the board
+    # block sizes from on-chip sweeps at SD shapes (v5e, S=4096):
+    # small BH prefers smaller q blocks; the largest divisible K block wins
     block_q = 256 if b * h <= 16 else 512
-    block_k = 1024 if sk % 1024 == 0 else 512
+    block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
     o = flash_attention_bhsd(qf, kf, vf, scale=float(scale),
                              block_q=block_q, block_k=block_k)
-    if dp != d:
-        o = o[..., :d]
     return o.reshape(b, h, sq, d)
