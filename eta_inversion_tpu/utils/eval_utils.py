@@ -24,33 +24,45 @@ def get_save_dir(name: str) -> Path:
     return path
 
 
+# the five axes an eval yaml may sweep; their nesting order in the grid walk
+# is part of the directory-numbering contract (reference eval_utils.py:65-75)
+GRID_AXES = ("model", "data", "edit_cfg", "method", "edit_method")
+
+
 def _cfg_to_filename(cfg) -> str:
-    if isinstance(cfg, dict):
-        return "_".join([f"{_cfg_to_filename(v)}" for k, v in sorted(cfg.items())])
-    return str(cfg)
+    """Directory-name fragment for a config value: dicts join their values
+    (key-sorted, keys omitted) with '_'; scalars stringify (reference :27-41)."""
+    if not isinstance(cfg, dict):
+        return str(cfg)
+    return "_".join(_cfg_to_filename(cfg[k]) for k in sorted(cfg))
 
 
 def create_configs(cfg_all: str) -> Tuple[List[Dict[str, Any]], Dict[str, Any]]:
-    """yaml -> cartesian product over [model, data, edit_cfg, method,
-    edit_method] (reference :44-85)."""
+    """yaml -> one sub config per point of the cartesian grid over GRID_AXES.
+
+    Output contract (byte-compatible result tree, reference :44-85): every
+    non-axis yaml key is copied into each sub config verbatim, and sub config
+    number i is rooted at result/<exp>/<i:02d>_<name>, <name> being the
+    sorted-value join of the sub config (before "path" is added).
+    """
     if not cfg_all.endswith(".yaml"):
         cfg_all = f"cfg/eval/{cfg_all}.yaml"
     exp_name = Path(cfg_all).stem
     with open(cfg_all, "r") as f:
-        cfg_all = yaml.safe_load(f)
+        grid = yaml.safe_load(f)
 
-    keys_batch = ["model", "data", "edit_cfg", "method", "edit_method"]
-    vals_batch = list(product(*[cfg_all.get(k, [None]) for k in keys_batch]))
-    cfgs = [{
-        **dict(zip(keys_batch, vals)),
-        **{k: v for k, v in cfg_all.items() if k not in keys_batch},
-    } for vals in vals_batch]
+    shared = {k: v for k, v in grid.items() if k not in GRID_AXES}
+    root = Path("result") / exp_name
 
-    for i, cfg in enumerate(cfgs):
-        sub_dir = f"{i:02d}_" + _cfg_to_filename(cfg)
-        cfg["path"] = str(Path("result") / exp_name / sub_dir)
-    cfg_all["path"] = str(Path("result") / exp_name)
-    return cfgs, cfg_all
+    cfgs: List[Dict[str, Any]] = []
+    for point in product(*(grid.get(axis, [None]) for axis in GRID_AXES)):
+        cfg = dict(zip(GRID_AXES, point))
+        cfg.update(shared)
+        cfg["path"] = str(root / f"{len(cfgs):02d}_{_cfg_to_filename(cfg)}")
+        cfgs.append(cfg)
+
+    grid["path"] = str(root)
+    return cfgs, grid
 
 
 class EditResultData:

@@ -122,7 +122,12 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
             continue
         save(sample, res["image"], i)
 
-    # trailing partial batch runs per-sample to keep compiled shapes stable
+    # trailing partial batch runs per-sample to keep compiled shapes stable —
+    # a real perf cliff (~batch x slower per image), so say so out loud
+    if pending:
+        print(f"tail of {len(pending)} sample(s) < batch {batch}: falling back "
+              f"to per-sample edits (slower; pad the dataset to a multiple of "
+              f"the batch to avoid this)")
     for i, sample in pending:
         image, edit_cfg, inv_cfg = sample_args(i, sample)
         res = state["editor"].edit(image, sample["source_prompt"],

@@ -63,3 +63,111 @@ def test_method_defaults():
     assert method_defaults("ddpminv")["guidance_scale_bwd"] == 15.0
     assert method_defaults("diffinv") == {"guidance_scale_fwd": 1.0,
                                           "guidance_scale_bwd": 7.5}
+
+
+# ---------------------------------------------------------------------------
+# UI construction with a stubbed gradio module (gradio itself is not bundled
+# in this offline image; reference demo/demo_utils.py:15-432 is a live app)
+# ---------------------------------------------------------------------------
+
+class _FakeComponent:
+    def __init__(self, *args, **kwargs):
+        self.args = args
+        self.kwargs = kwargs
+        self.label = kwargs.get("label")
+        self.events = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def _event(self, fn, inputs, outputs):
+        self.events.append({"fn": fn, "inputs": inputs, "outputs": outputs})
+
+    def change(self, fn, inputs, outputs):
+        self._event(fn, inputs, outputs)
+
+    def click(self, fn, inputs, outputs):
+        self._event(fn, inputs, outputs)
+
+
+class _FakeGradio:
+    __name__ = "gradio"
+
+    def __init__(self):
+        self.created = []
+
+    def _cls(self, name):
+        created = self.created
+
+        class C(_FakeComponent):
+            _kind = name
+
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                created.append(self)
+
+        C.__name__ = name
+        return C
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cls = self._cls(name)
+        setattr(self, name, cls)
+        return cls
+
+
+@pytest.fixture()
+def fake_gradio(monkeypatch):
+    import sys
+
+    fake = _FakeGradio()
+    monkeypatch.setitem(sys.modules, "gradio", fake)
+    return fake
+
+
+def _components(fake, kind):
+    return [c for c in fake.created if c._kind == kind]
+
+
+def test_build_app_wires_ui(fake_gradio):
+    from eta_inversion_tpu import get_edit_methods, get_inversion_methods
+    from demo.demo_utils import build_app
+
+    app = build_app()
+    assert app is not None
+
+    drops = _components(fake_gradio, "Dropdown")
+    by_label = {d.label: d for d in drops}
+    assert set(by_label) == {"Model", "Inversion method", "Editing method"}
+    assert by_label["Inversion method"].args[0] == get_inversion_methods()
+    assert by_label["Editing method"].args[0] == get_edit_methods()
+    assert "tiny" in by_label["Model"].args[0]
+
+    # method-change callback rewires guidance defaults for every method
+    (change,) = by_label["Inversion method"].events
+    for m in get_inversion_methods():
+        fwd, bwd = change["fn"](m)
+        assert isinstance(fwd, float) and isinstance(bwd, float)
+
+    # the edit button drives the full backend: 19 inputs -> (image, status)
+    (btn,) = _components(fake_gradio, "Button")
+    (click,) = btn.events
+    assert len(click["inputs"]) == 19 and len(click["outputs"]) == 2
+
+
+def test_build_app_click_runs_backend(fake_gradio):
+    from demo.demo_utils import build_app
+
+    build_app()
+    (btn,) = _components(fake_gradio, "Button")
+    run_edit = btn.events[0]["fn"]
+    img = (np.random.RandomState(2).rand(16, 16, 3) * 255).astype("uint8")
+    out_img, err = run_edit(
+        img, "a cat", "a dog", "tiny", 2, "diffinv", 1.0, 7.5, "simple",
+        False, 0.4, 0.6, "", "", "", 2.0, 0.0, 0.4, 10)
+    assert err == ""
+    assert out_img is not None and out_img.shape == (16, 16, 3)
