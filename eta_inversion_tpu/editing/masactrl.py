@@ -93,6 +93,13 @@ class MasaCtrlHooks(AttnHooks):
         return (not meta.is_cross and meta.self_idx >= self.start_layer
                 and self.layout.n_prompts >= 2)
 
+    def cfg_prefix_safe(self, first_self_meta: AttnLayerMeta) -> bool:
+        # every self-layer intervention gates on self_idx >= start_layer and
+        # cross hooks sit after the shared-prefix duplication point, so the
+        # prefix is hook-free whenever the first self layer is below the
+        # start layer (SD default start_layer=10)
+        return first_self_meta.self_idx < self.start_layer
+
     # ------------------------------------------------------------------ qkv
     def qkv(self, meta: AttnLayerMeta, q, k, v):
         if not self._active(meta):

@@ -179,6 +179,7 @@ class PtpHooks(AttnHooks):
     attn_replace_thres: int = 32 * 32
     store_keys: Tuple[str, ...] = ()
     do_edit: bool = True
+    fold_cross_attn: bool = False
 
     def wants_probs(self, meta: AttnLayerMeta) -> bool:
         # Only cross-attention needs materialized probabilities (word-level
@@ -189,6 +190,14 @@ class PtpHooks(AttnHooks):
 
     def store(self, meta: AttnLayerMeta) -> bool:
         return meta.store_key in self.store_keys
+
+    def cfg_prefix_safe(self, first_self_meta: AttnLayerMeta) -> bool:
+        # ptp touches self-attention only at res^2 <= attn_replace_thres
+        # (`qkv`), stores only cross maps, and leaves hidden/out identity —
+        # so the prefix through the first self layer is hook-free whenever
+        # that layer sits above the replacement threshold (SD: 64^2 > 32^2).
+        return (not self.do_edit
+                or first_self_meta.res ** 2 > self.attn_replace_thres)
 
     def replace_cross(self, base, repl):
         """Pair-batched: base (B, H, hw, 77) sources; repl (B, H, hw, 77)
@@ -246,6 +255,68 @@ class PtpHooks(AttnHooks):
         new = new * a + (1 - a) * repl
         return jnp.concatenate([p[: n + B], new.astype(p.dtype)], axis=0)
 
+    def _fold_terms(self):
+        """The per-key-token linear algebra of the `probs` cross edit:
+        out_tgt = P_src @ (M2 @ V_tgt) + P_tgt @ (s_t * V_tgt), where all
+        per-token scalings (time-word alpha, refine alphas, reweight
+        equalizer) fold into M2 (B, 77, 77) / s_t (B, 77)."""
+        B = self.layout.n_pairs
+        K = self.alpha_i.shape[-1]
+        a = self.alpha_i.reshape(B, K).astype(jnp.float32)  # (B, 77)
+        eq = jnp.ones((B, K), jnp.float32) if self.equalizer is None \
+            else self.equalizer.astype(jnp.float32)
+        if self.mode == "replace":
+            m2 = self.mapper_mat.astype(jnp.float32) * (eq * a)[:, None, :]
+            s_t = 1.0 - a
+        elif self.mode == "refine":
+            g = jax.nn.one_hot(self.mapper_idx, K, axis=1, dtype=jnp.float32)
+            ra = self.refine_alphas.astype(jnp.float32)
+            m2 = g * (ra * eq * a)[:, None, :]
+            s_t = (1.0 - ra) * eq * a + (1.0 - a)
+        else:  # pure reweight: new = repl * eq
+            m2 = None
+            s_t = eq * a + (1.0 - a)
+        return m2, s_t
+
+    def cross_fold(self, meta: AttnLayerMeta, q, k, v):
+        """`probs` re-expressed without materializing the (B, H, Sq, 77)
+        probability tensor, so the short-K Pallas kernel applies: per-token
+        scalings fold into the target value matrix, and the P_src-probability
+        component rides B extra batch rows (q_src, k_src, M2 @ V_tgt) summed
+        back into the target rows.  Exact in exact arithmetic; enabled on TPU
+        (fold_cross_attn) where the materialized path costs 2.9 ms vs 1.3 ms
+        per 64x64 layer-call at batch 32 (scripts/attn_microbench3.py)."""
+        if (not self.fold_cross_attn or not self.do_edit or not meta.is_cross
+                or self.layout.n_prompts < 2
+                or meta.store_key in self.store_keys):
+            return None
+        n = self.layout.cond_start
+        B = self.layout.n_pairs
+        if q.shape[0] != n + 2 * B:
+            return None
+        m2, s_t = self._fold_terms()
+        # scale only the target rows' values: a full-batch row/token scale
+        # (ones elsewhere) instead of slicing + concatenating 80 MB tensors —
+        # the concat glue measured 5 ms/step at SD batch 8 (trace r2)
+        ones = jnp.ones((n + B, 1, s_t.shape[-1]), s_t.dtype)
+        rowscale = jnp.concatenate([ones, s_t[:, None, :]], axis=0)
+        v2 = v * rowscale[..., None].astype(v.dtype)
+        if m2 is None:
+            return q, k, v2, (lambda o: o)
+        v_t = v[n + B:]
+        extra_v = jnp.einsum("bwn,bhnd->bhwd", m2, v_t,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
+        q_s, k_s = q[n: n + B], k[n: n + B]
+
+        def combine(o, _extra=(q_s, k_s, extra_v)):
+            from ..ops.flash_attention import attention
+            qs, ks, ev = _extra
+            d = qs.shape[-1]
+            o_extra = attention(qs, ks, ev, d ** -0.5)
+            return o.at[n + B:].add(o_extra.astype(o.dtype))
+
+        return q, k, v2, combine
+
 
 # ---------------------------------------------------------------------------
 # controllers
@@ -270,7 +341,8 @@ class PtpController(Controller):
                  equilizer_params: Optional[Union[Dict[str, Any], Sequence]] = None,
                  attn_replace_thres: Optional[int] = None,
                  store_res: Optional[Tuple[int, ...]] = None,
-                 store_places: Tuple[str, ...] = ("down", "up")):
+                 store_places: Tuple[str, ...] = ("down", "up"),
+                 fold_cross: Optional[bool] = None):
         self.engine = engine
         tokenizer = engine.model.tokenizer
         batched = isinstance(source_prompt, (list, tuple))
@@ -364,6 +436,11 @@ class PtpController(Controller):
             self.store_keys = ()
         self.store_res = store_res
         self.store_places = store_places
+        # value-folded cross edit (PtpHooks.cross_fold): default on for the
+        # TPU kernel path, off on CPU where the materialized path is the
+        # reference numerics (tests force it on to check equivalence)
+        from ..ops.flash_attention import on_tpu
+        self.fold_cross = on_tpu() if fold_cross is None else fold_cross
 
     # -- protocol ------------------------------------------------------------
 
@@ -371,7 +448,7 @@ class PtpController(Controller):
         return ("ptp", self.mode, self.n_pairs, self.self_range,
                 self.attn_replace_thres, self.equalizer is not None,
                 None if self.blend is None else self.blend["start_blend"],
-                self.store_keys, self.num_steps)
+                self.store_keys, self.num_steps, self.fold_cross)
 
     def collect_store(self) -> bool:
         return len(self.store_keys) > 0
@@ -410,6 +487,7 @@ class PtpController(Controller):
             equalizer=state.get("equalizer"),
             attn_replace_thres=self.attn_replace_thres,
             store_keys=self.store_keys,
+            fold_cross_attn=self.fold_cross,
         )
 
     def end_step(self, i, t, latent, eps, store, state):

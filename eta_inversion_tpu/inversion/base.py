@@ -175,7 +175,7 @@ class DiffusionInversion:
         (reference :249-286). Returns (eps, store_dict)."""
         store: Dict[str, Any] = {}
 
-        def unet(lat, ctx):
+        def unet(lat, ctx, shared_prefix=False):
             in_rows = getattr(hooks, "unet_in_rows", None) if hooks is not None else None
             out_rows = getattr(hooks, "unet_out_rows", None) if hooks is not None else None
             if in_rows is not None:
@@ -184,9 +184,11 @@ class DiffusionInversion:
             if collect_store:
                 eps, vars_ = self.model.unet.apply(
                     {"params": params["unet"]}, lat, t, ctx, hooks,
-                    mutable=["attn_store"])
+                    cfg_shared_prefix=shared_prefix, mutable=["attn_store"])
             else:
-                eps = self.model.unet.apply({"params": params["unet"]}, lat, t, ctx, hooks)
+                eps = self.model.unet.apply({"params": params["unet"]}, lat, t,
+                                            ctx, hooks,
+                                            cfg_shared_prefix=shared_prefix)
                 vars_ = None
             if out_rows is not None:
                 eps = eps[jnp.asarray(out_rows)]
@@ -204,12 +206,18 @@ class DiffusionInversion:
             eps, vars_ = unet(latent, context[n:])
         else:
             if latent.shape[0] * 2 == context.shape[0]:
-                latent_in = jnp.concatenate([latent, latent], axis=0)
+                if self._cfg_prefix_ok(hooks):
+                    # CFG shared prefix: both guidance rows carry the same
+                    # latent, so the UNet runs the pre-cross-attention prefix
+                    # once (exact dedup, see models/unet.py)
+                    eps_all, vars_ = unet(latent, context, shared_prefix=True)
+                else:
+                    eps_all, vars_ = unet(
+                        jnp.concatenate([latent, latent], axis=0), context)
             else:
                 assert latent.shape[0] == context.shape[0]
-                latent_in = latent
-            eps_all, vars_ = unet(latent_in, context)
-            n = latent_in.shape[0] // 2
+                eps_all, vars_ = unet(latent, context)
+            n = eps_all.shape[0] // 2
             eps_u, eps_c = eps_all[:n], eps_all[n:]
             eps = self.combine_guidance(eps_u, eps_c, guidance_scale, latent, t, inp,
                                         is_fwd=is_fwd)
@@ -218,6 +226,21 @@ class DiffusionInversion:
 
             store = flatten_store(vars_.get("attn_store", {}))
         return eps, store
+
+    def _cfg_prefix_ok(self, hooks) -> bool:
+        """Shared-prefix CFG is exact whenever no hook touches the UNet prefix
+        up to the first self-attention layer (AttnHooks.cfg_prefix_safe) and
+        no batch-restructuring plan is active."""
+        if hooks is None:
+            return True
+        if getattr(hooks, "unet_in_rows", None) is not None:
+            return False
+        metas = [m for pair in self.model.attn_metas.values() for m in pair
+                 if not m.is_cross]
+        if not metas:
+            return False
+        first_self = min(metas, key=lambda m: m.idx)
+        return hooks.cfg_prefix_safe(first_self)
 
     def step_forward(self, eps, t, latent, inp=None, rng=None):
         return ddim_inverse_step(self.schedule, latent, eps, t, self.inv_steps)

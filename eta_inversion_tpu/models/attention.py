@@ -54,7 +54,16 @@ class CrossAttention(nn.Module):
         materialize = hooks is not None and (
             hooks.wants_probs(self.meta) or hooks.store(self.meta)
         )
-        if materialize:
+        folded = None
+        if materialize and not (hooks.store(self.meta)):
+            # probability-free expression of the edit (e.g. ptp cross edits
+            # folded into the value matrix) — keeps the short-K Pallas kernel
+            # on the fast path instead of materializing (B, H, Sq, Sk) probs
+            folded = hooks.cross_fold(self.meta, q, k, v)
+        if folded is not None:
+            q2, k2, v2, combine = folded
+            o = combine(attention(q2, k2, v2, scale))
+        elif materialize:
             # fp32 softmax, then probability edits/stores/PV in the compute
             # dtype: at SD's 64x64 cross layers the probs tensor is
             # (32, 8, 4096, 77) — keeping it fp32 through the hook path
@@ -102,13 +111,20 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, hooks: Optional[AttnHooks] = None):
+    def __call__(self, x, context, hooks: Optional[AttnHooks] = None,
+                 dup: bool = False):
         dim = self.heads * self.head_dim
         if hooks is not None:
             x = hooks.hidden(self.self_meta, x)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + CrossAttention(self.heads, self.head_dim, self.self_meta, self.dtype,
                                name="attn1")(h, None, hooks)
+        if dup:
+            # CFG shared prefix: the uncond/cond rows were identical through
+            # the self-attention above; duplicate here, where the context
+            # first differentiates them (engine guarantees hook-freedom on
+            # the prefix via AttnHooks.cfg_prefix_safe)
+            x = jnp.tile(x, (2, 1, 1))
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         x = x + CrossAttention(self.heads, self.head_dim, self.cross_meta, self.dtype,
                                name="attn2")(h, context, hooks)
@@ -129,7 +145,8 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, hooks: Optional[AttnHooks] = None):
+    def __call__(self, x, context, hooks: Optional[AttnHooks] = None,
+                 dup: bool = False):
         b, h, w, c = x.shape
         inner = self.heads * self.head_dim
         residual = x
@@ -140,7 +157,10 @@ class Transformer2D(nn.Module):
         for d in range(self.depth):
             x = BasicTransformerBlock(self.heads, self.head_dim, self.self_meta,
                                       self.cross_meta, self.dtype,
-                                      name=f"blocks_{d}")(x, context, hooks)
-        x = x.reshape(b, h, w, inner)
+                                      name=f"blocks_{d}")(x, context, hooks,
+                                                          dup=dup and d == 0)
+        x = x.reshape(-1, h, w, inner)
         x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        if residual.shape[0] != x.shape[0]:
+            residual = jnp.tile(residual, (x.shape[0] // residual.shape[0], 1, 1, 1))
         return x + residual

@@ -93,9 +93,17 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states,
-                 hooks: Optional[AttnHooks] = None):
+                 hooks: Optional[AttnHooks] = None,
+                 cfg_shared_prefix: bool = False):
         """sample: (B, H, W, 4) NHWC latent; timesteps: scalar or (B,);
-        encoder_hidden_states: (B, 77, cross_attention_dim)."""
+        encoder_hidden_states: (B, 77, cross_attention_dim).
+
+        cfg_shared_prefix: sample carries B rows but encoder_hidden_states
+        carries 2B ([u_1..u_B, c_1..c_B]) — the classifier-free-guidance
+        halves share the latent, so the prefix up to the first
+        cross-attention runs once and the hidden states are tiled there
+        (exact dedup; the caller must ensure the prefix is hook-free,
+        AttnHooks.cfg_prefix_safe)."""
         cfg = self.config
         metas = build_attn_metas(cfg)
         ctx = encoder_hidden_states.astype(self.dtype)
@@ -111,12 +119,20 @@ class UNet2DCondition(nn.Module):
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv_in")(x)
 
+        dup_pending = cfg_shared_prefix
+
         def transformer(key: str, x, name: str):
+            nonlocal dup_pending, temb
             sm, cm = metas[key]
             ch = x.shape[-1]
-            return Transformer2D(cfg.num_heads, ch // cfg.num_heads, sm, cm,
-                                 groups=cfg.norm_num_groups, dtype=self.dtype,
-                                 name=name)(x, ctx, hooks)
+            dup = dup_pending
+            dup_pending = False
+            x = Transformer2D(cfg.num_heads, ch // cfg.num_heads, sm, cm,
+                              groups=cfg.norm_num_groups, dtype=self.dtype,
+                              name=name)(x, ctx, hooks, dup=dup)
+            if temb.shape[0] != x.shape[0]:
+                temb = jnp.tile(temb, (x.shape[0] // temb.shape[0], 1))
+            return x
 
         # ---- down path -------------------------------------------------------
         skips: List[jnp.ndarray] = [x]
@@ -144,6 +160,9 @@ class UNet2DCondition(nn.Module):
             ch = cfg.block_out_channels[stage]
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
+                if skip.shape[0] != x.shape[0]:
+                    # skip saved before the CFG shared-prefix duplication
+                    skip = jnp.tile(skip, (x.shape[0] // skip.shape[0], 1, 1, 1))
                 x = jnp.concatenate([x, skip], axis=-1)
                 rmeta = ResnetMeta(up_i, j, x.shape[1])
                 inner = (lambda h, m=rmeta: hooks.resnet(m, h)) if hooks is not None else None
@@ -154,6 +173,8 @@ class UNet2DCondition(nn.Module):
             if stage > 0:
                 x = Upsample(ch, dtype=self.dtype, name=f"up_{up_i}_upsample")(x)
 
+        if dup_pending:  # config without any attention: duplicate at the end
+            x = jnp.tile(x, (2, 1, 1, 1))
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32,
                          name="conv_norm_out")(x)
         x = nn.silu(x).astype(self.dtype)

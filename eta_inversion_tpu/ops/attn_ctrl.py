@@ -88,6 +88,14 @@ class AttnHooks:
     def wants_probs(self, meta: AttnLayerMeta) -> bool:
         return False
 
+    def cfg_prefix_safe(self, first_self_meta: AttnLayerMeta) -> bool:
+        """True if this hooks object provably does not act on the UNet's
+        prefix up to (and including) the first self-attention layer — the
+        uncond/cond CFG rows are identical there, so the engine runs the
+        prefix once and tiles at the first cross-attention (exact dedup,
+        ~25% of the pre-divergence compute).  Conservative default: off."""
+        return False
+
     def store(self, meta: AttnLayerMeta) -> bool:
         return False
 
@@ -99,6 +107,16 @@ class AttnHooks:
 
     def probs(self, meta: AttnLayerMeta, p):
         return p
+
+    def cross_fold(self, meta: AttnLayerMeta, q, k, v):
+        """Optional probability-free expression of a cross-attention edit.
+
+        Return None (default) to use the materialized-probability path, or
+        (q2, k2, v2, combine) where the edit has been folded into the value
+        matrix / extra batch rows: the engine runs the unmaterialized
+        attention kernel on (q2, k2, v2) and calls combine(o) to restore the
+        original batch.  Must be equivalent to `probs` up to rounding."""
+        return None
 
     def out(self, meta: AttnLayerMeta, o):
         return o

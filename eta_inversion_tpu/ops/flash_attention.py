@@ -26,6 +26,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+LOG2E = 1.4426950408889634
+
+
+def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
+    """Whole-row softmax in one pass (block_k == seq_k): no online-max
+    corrections, exp2 with log2(e) folded into the score scale, bf16 matmul
+    inputs.  Measured -4% vs the blockwise kernel at SD's (256, 4096, 40)
+    on v5e (scripts/attn_microbench — mb7 sweep)."""
+    q = q_ref[0]                      # (bq, D) bf16
+    kt = kt_ref[0]                    # (D, S)
+    v = v_ref[0]                      # (S, D)
+    s = jnp.dot(q, kt, preferred_element_type=jnp.float32) * (scale * LOG2E)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
 def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_k: int, scale: float):
     """One (batch*head, q-block) program: online softmax over k blocks.
 
@@ -57,16 +76,21 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_k: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int = 512):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
+                         block_k: int = 512, interpret: bool = False):
     """Flash attention over (BH, S, D) inputs. S % block == 0; D native."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     kt = jnp.swapaxes(k, 1, 2)  # (BH, D, S); cheap XLA transpose, reused by
     # every q block
     grid = (bh, sq // block_q)
+    onepass = block_k == sk
+    kern = functools.partial(_flash_onepass_kernel, scale=scale) if onepass \
+        else functools.partial(_flash_kernel, block_k=block_k, scale=scale)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        kern,
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         grid=grid,
         in_specs=[
@@ -78,13 +102,69 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512, block_k: int
         compiler_params=pltpu.CompilerParams(
             # both grid dims are independent -> spread across the 2 megacores
             dimension_semantics=("parallel", "parallel"),
+            # the onepass kernel holds a (block_q, seq_k) fp32 score tile
+            **({"vmem_limit_bytes": 64 * 1024 * 1024} if onepass else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d,
             bytes_accessed=(bh * sq * d * 2 + bh * sk * d * 2) * q.dtype.itemsize,
             transcendentals=bh * sq * sk,
         ),
+        interpret=interpret,
     )(q, kt, v)
+
+
+def _crossk_kernel(q_ref, kt_ref, v_ref, o_ref, *, sk: int, scale: float):
+    """Short-K attention, one (batch*head, q-block) program: the whole padded
+    key range fits one MXU pass, the score tile never leaves VMEM."""
+    q = q_ref[0].astype(jnp.float32) * scale     # (bq, D)
+    kt = kt_ref[0].astype(jnp.float32)           # (D, SKP)
+    s = jnp.dot(q, kt, preferred_element_type=jnp.float32)
+    skp = s.shape[-1]
+    if sk < skp:
+        mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < sk
+        s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    v = v_ref[0]                                 # (SKP, D)
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sk", "scale", "block_q", "interpret"))
+def crossk_attention_bhsd(q, k, v, sk: int, scale: float, block_q: int = 1024,
+                          interpret: bool = False):
+    """Cross attention over (BH, Sq, D) q with a short (BH, sk, D) key/value
+    range (SD: 77 text tokens).  Keys/values are zero-padded to the 128-lane
+    tile and masked in-kernel, so the (Sq, 128) score tile stays in VMEM — the
+    XLA two-einsum path materializes the scores in HBM (measured 2.1 ms vs
+    1.05 ms/layer-call at (BH, Sq, D) = (256, 4096, 40) on v5e,
+    scripts/attn_microbench3.py)."""
+    bh, sq, d = q.shape
+    skp = 128 if sk <= 128 else ((sk + 127) // 128) * 128
+    kpad = jnp.pad(k, ((0, 0), (0, skp - sk), (0, 0)))
+    vpad = jnp.pad(v, ((0, 0), (0, skp - sk), (0, 0)))
+    kt = jnp.swapaxes(kpad, 1, 2)                # (BH, D, SKP) — tiny
+    return pl.pallas_call(
+        functools.partial(_crossk_kernel, sk=sk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=(bh, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, d, skp), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, skp, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * skp * d,
+            bytes_accessed=(2 * bh * sq * d + 2 * bh * skp * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * skp,
+        ),
+        interpret=interpret,
+    )(q, kt, vpad)
 
 
 def on_tpu() -> bool:
@@ -104,7 +184,7 @@ def attention_probs(q, k, scale: float):
     return jax.nn.softmax(s * scale, axis=-1)
 
 
-def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048):
+def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024):
     """Dispatching attention: Pallas flash kernel on TPU for long self-attention,
     XLA path otherwise. q, k, v: (B, H, S, D)."""
     b, h, sq, d = q.shape
@@ -118,7 +198,27 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048)
         and sq % 512 == 0
         and d <= 256
     )
+    # measured v5e (scripts/attn_microbench.py, BH=256 S=1024 D=40): flash
+    # 1.19 ms vs XLA 1.53 ms — the 32x32 self-attention layers also belong on
+    # the kernel.  At S>=2048 the flash win is larger still (XLA materializes
+    # the scores).
     if not use_flash:
+        use_crossk = (
+            on_tpu()
+            and sk <= 128
+            and sk < sq
+            and sq >= 1024
+            and sq % 512 == 0
+            and d <= 256
+        )
+        if use_crossk:
+            qf = q.reshape(b * h, sq, d)
+            kf = k.reshape(b * h, sk, d)
+            vf = v.reshape(b * h, sk, d)
+            block_q = 1024 if sq % 1024 == 0 else 512
+            o = crossk_attention_bhsd(qf, kf, vf, sk=sk, scale=float(scale),
+                                      block_q=block_q)
+            return o.reshape(b, h, sq, d)
         return xla_attention(q, k, v, scale)
 
     # head_dim stays NATIVE (no HBM pad to 128): the kernel's block specs take
@@ -130,9 +230,13 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 2048)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
     # block sizes from on-chip sweeps at SD shapes (v5e, S=4096):
-    # small BH prefers smaller q blocks; the largest divisible K block wins
-    block_q = 256 if b * h <= 16 else 512
-    block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
+    # small BH prefers smaller q blocks; whole-row K (onepass kernel) wins
+    # when the fp32 score tile fits VMEM
+    if sk <= 4096:
+        block_q, block_k = 256, sk
+    else:
+        block_q = 256 if b * h <= 16 else 512
+        block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
     o = flash_attention_bhsd(qf, kf, vf, scale=float(scale),
                              block_q=block_q, block_k=block_k)
     return o.reshape(b, h, sq, d)

@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 
 def sync_scalar(x):
     """Fetch a value to synchronize (block_until_ready unreliable on axon)."""

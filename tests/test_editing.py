@@ -244,3 +244,82 @@ def test_cross_method_grid(inverter, editor, tiny_model, test_image, goldens):
     key = f"grid_{inverter}_{editor}"
     if key in goldens:
         assert val == pytest.approx(goldens[key], abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# cross-attention value folding (PtpHooks.cross_fold)
+# ---------------------------------------------------------------------------
+
+def _fold_vs_materialized(mode, equalizer, B=2, H=2, S=16, K=8, D=4):
+    """Folded cross edit must equal the materialized `probs` edit."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.editing.controller import BatchLayout
+    from eta_inversion_tpu.editing.ptp import PtpHooks
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta
+    from eta_inversion_tpu.ops.flash_attention import attention, attention_probs
+
+    rs = np.random.RandomState(42)
+    layout = BatchLayout(2 * B, True)  # [u x 2B, s_1..s_B, t_1..t_B]
+    n = layout.cond_start
+    rows = n + 2 * B
+    q = jnp.asarray(rs.randn(rows, H, S, D), jnp.float32)
+    k = jnp.asarray(rs.randn(rows, H, K, D), jnp.float32)
+    v = jnp.asarray(rs.randn(rows, H, K, D), jnp.float32)
+    meta = AttnLayerMeta(1, True, "down", 4, -1, 0, H)
+    kw = dict(
+        layout=layout, mode=mode,
+        alpha_i=jnp.asarray(rs.rand(B, 1, 1, K), jnp.float32),
+        self_gate=jnp.asarray(True),
+        mapper_mat=jnp.asarray(rs.rand(B, K, K), jnp.float32),
+        mapper_idx=jnp.asarray(rs.randint(0, K, (B, K))),
+        refine_alphas=jnp.asarray(rs.rand(B, K), jnp.float32),
+        equalizer=jnp.asarray(rs.rand(B, K), jnp.float32) if equalizer else None,
+    )
+    scale = D ** -0.5
+
+    # materialized reference path
+    hooks_mat = PtpHooks(fold_cross_attn=False, **kw)
+    p = hooks_mat.probs(meta, attention_probs(q, k, scale))
+    o_ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    hooks_fold = PtpHooks(fold_cross_attn=True, **kw)
+    folded = hooks_fold.cross_fold(meta, q, k, v)
+    assert folded is not None
+    q2, k2, v2, combine = folded
+    o_fold = combine(attention(q2, k2, v2, scale))
+
+    np.testing.assert_allclose(np.asarray(o_fold), np.asarray(o_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("mode", ["replace", "refine", "none"])
+@pytest.mark.parametrize("equalizer", [False, True])
+def test_cross_fold_matches_materialized(mode, equalizer):
+    _fold_vs_materialized(mode, equalizer)
+
+
+def test_cross_fold_respects_store_and_gates():
+    """Folding must decline on store layers and non-pair layouts."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.editing.controller import BatchLayout
+    from eta_inversion_tpu.editing.ptp import PtpHooks
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta
+
+    meta = AttnLayerMeta(1, True, "down", 4, -1, 0, 2)
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(8, 2, 16, 4), jnp.float32)
+    kv = jnp.asarray(rs.randn(8, 2, 8, 4), jnp.float32)
+    base = dict(
+        layout=BatchLayout(4, True), mode="replace",
+        alpha_i=jnp.ones((2, 1, 1, 8)), self_gate=jnp.asarray(True),
+        mapper_mat=jnp.zeros((2, 8, 8)), fold_cross_attn=True,
+    )
+    assert PtpHooks(**base).cross_fold(meta, q, kv, kv) is not None
+    stored = PtpHooks(**{**base, "store_keys": (meta.store_key,)})
+    assert stored.cross_fold(meta, q, kv, kv) is None
+    off = PtpHooks(**{**base, "fold_cross_attn": False})
+    assert off.cross_fold(meta, q, kv, kv) is None

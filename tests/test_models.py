@@ -111,3 +111,23 @@ def test_hash_tokenizer_contract():
     # same word -> same id, stable across calls
     assert tok.encode("cat") == tok.encode("cat")
     assert tok.encode("a cat")[0] == tok.encode("a dog")[0]
+
+
+def test_cfg_shared_prefix_matches_duplicated(tiny_model):
+    """UNet with cfg_shared_prefix must equal explicitly duplicated rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    m = tiny_model
+    s = m.latent_size
+    lat = jnp.asarray(rs.randn(2, s, s, m.latent_channels), jnp.float32)
+    ctx = jnp.asarray(rs.randn(4, 77, m.preset.unet.cross_attention_dim),
+                      jnp.float32)
+    dup = m.unet.apply({"params": m.params["unet"]},
+                       jnp.concatenate([lat, lat], 0), 500, ctx)
+    shared = m.unet.apply({"params": m.params["unet"]}, lat, 500, ctx,
+                          cfg_shared_prefix=True)
+    # not bitwise: XLA tiles batch-2 and batch-4 reductions differently
+    np.testing.assert_allclose(np.asarray(dup), np.asarray(shared),
+                               rtol=1e-3, atol=1e-5)
