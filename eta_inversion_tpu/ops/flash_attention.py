@@ -203,22 +203,12 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
     # the kernel.  At S>=2048 the flash win is larger still (XLA materializes
     # the scores).
     if not use_flash:
-        use_crossk = (
-            on_tpu()
-            and sk <= 128
-            and sk < sq
-            and sq >= 1024
-            and sq % 512 == 0
-            and d <= 256
-        )
-        if use_crossk:
-            qf = q.reshape(b * h, sq, d)
-            kf = k.reshape(b * h, sk, d)
-            vf = v.reshape(b * h, sk, d)
-            block_q = 1024 if sq % 1024 == 0 else 512
-            o = crossk_attention_bhsd(qf, kf, vf, sk=sk, scale=float(scale),
-                                      block_q=block_q)
-            return o.reshape(b, h, sq, d)
+        # short-K cross attention stays on the XLA path: the Pallas short-K
+        # kernel is faster bare (1.69 vs 2.1 ms/layer-call at SD's 64x64
+        # cross shape) but forces materialized (B,H,S,D) transposes that XLA
+        # otherwise fuses into the einsums — net slower in-model (bwd xprof
+        # trace r3).  crossk_attention_bhsd is kept for callers with
+        # already-flat layouts.
         return xla_attention(q, k, v, scale)
 
     # head_dim stays NATIVE (no HBM pad to 128): the kernel's block specs take
@@ -229,10 +219,10 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
-    # block sizes from on-chip sweeps at SD shapes (v5e, S=4096):
-    # small BH prefers smaller q blocks; whole-row K (onepass kernel) wins
-    # when the fp32 score tile fits VMEM
-    if sk <= 4096:
+    # block sizes from on-chip sweeps at SD shapes (v5e): the onepass kernel
+    # wins at S<=1024; at S=4096 the blockwise kernel measured faster
+    # in-model (15.26 vs 15.73 ms/call at BH=256, bwd xprof trace r3)
+    if sk <= 1024:
         block_q, block_k = 256, sk
     else:
         block_q = 256 if b * h <= 16 else 512
