@@ -604,8 +604,16 @@ class AttnStoreController(Controller):
         state["store_sum"] = sums
         state["count"] = state["count"] + 1.0
         if self.per_step_maps:
+            # normalize THIS step's aggregated map, not the running sum — the
+            # reference stores per-step maps and means their normalizations
+            # (eta_inversion.py:36-49 ControllerAttentionStorePerStep,
+            # :388-396 mean over per-step normalized maps)
             res = self.store_res[0]
-            agg = aggregate_store_batched(sums, list(self.store_keys), res, n)
+            step_maps = {
+                k: (store[k][-n:] if store[k].shape[0] > n else store[k]
+                    ).astype(jnp.float32)
+                for k in self.store_keys}
+            agg = aggregate_store_batched(step_maps, list(self.store_keys), res, n)
             state["norm_map_sum"] = state["norm_map_sum"] + jax.vmap(
                 lambda a: normalized_token_maps(a, self.resize))(agg)
         return latent, state

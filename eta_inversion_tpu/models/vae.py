@@ -45,9 +45,11 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        s = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s * (c ** -0.5), axis=-1)
-        o = jnp.einsum("bqk,bkc->bqc", p.astype(v.dtype), v)
+        # dispatcher: Pallas flash kernel on TPU at 512px (S=4096, d=512 —
+        # the XLA einsum path materializes a (B, 4096, 4096) fp32 score
+        # tensor per einsum in the decoder's hot mid block)
+        from ..ops.flash_attention import attention
+        o = attention(q[:, None], k[:, None], v[:, None], c ** -0.5)[:, 0]
         o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
         return residual + o.reshape(b, h, w, c)
 

@@ -102,8 +102,10 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
         compiler_params=pltpu.CompilerParams(
             # both grid dims are independent -> spread across the 2 megacores
             dimension_semantics=("parallel", "parallel"),
-            # the onepass kernel holds a (block_q, seq_k) fp32 score tile
-            **({"vmem_limit_bytes": 64 * 1024 * 1024} if onepass else {}),
+            # the onepass kernel holds a (block_q, seq_k) fp32 score tile and
+            # the d=512 VAE blocks need ~17M with double buffering — raise the
+            # scoped-VMEM ceiling (v5e has 128M/core)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sq * sk * d,
@@ -196,7 +198,7 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
         and sq == sk
         and sq >= min_flash_seq
         and sq % 512 == 0
-        and d <= 256
+        and d <= 512
     )
     # measured v5e (scripts/attn_microbench.py, BH=256 S=1024 D=40): flash
     # 1.19 ms vs XLA 1.53 ms — the 32x32 self-attention layers also belong on
@@ -227,6 +229,10 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
     else:
         block_q = 256 if b * h <= 16 else 512
         block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
+        if d > 128:
+            # large head dim (VAE single-head d=512): halve the k/v/score
+            # tiles to stay inside scoped VMEM
+            block_q, block_k = 256, min(block_k, 1024)
     o = flash_attention_bhsd(qf, kf, vf, scale=float(scale),
                              block_q=block_q, block_k=block_k)
     return o.reshape(b, h, sq, d)
