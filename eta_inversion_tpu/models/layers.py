@@ -12,6 +12,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -47,6 +48,39 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+class _SplitConcatConv(nn.Module):
+    """3x3 conv over a channel-concatenated input, computed as two convs on
+    the original operands summed: conv(cat(a, b), W) == conv(a, W[:, :, :ca])
+    + conv(b, W[:, :, ca:]).  XLA's fused concat+conv runs the up-path skip
+    convs at ~121 TF/s on v5e; the split form measured ~17% faster
+    (scripts mb8).  Parameter tree (kernel/bias names, shapes, init stream)
+    is identical to nn.Conv, so checkpoints and the HF weight mapping are
+    unaffected."""
+
+    features: int
+    split: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+
+        def conv(inp, w):
+            return jax.lax.conv_general_dilated(
+                inp, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+
+        y = conv(x[..., : self.split], k[:, :, : self.split]) + \
+            conv(x[..., self.split:], k[:, :, self.split:])
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     """GN-SiLU-Conv residual block with optional timestep conditioning."""
 
@@ -54,6 +88,7 @@ class ResnetBlock(nn.Module):
     use_time_emb: bool = True
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    split_in: int = 0  # >0: conv1 input is cat(x, skip) split at this channel
 
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None, inner_hook=None):
@@ -63,8 +98,12 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv1")(h)
+        if 0 < self.split_in < in_ch:
+            h = _SplitConcatConv(self.out_channels, self.split_in, self.dtype,
+                                 name="conv1")(h)
+        else:
+            h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             temb_p = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)

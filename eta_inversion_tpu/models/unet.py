@@ -163,10 +163,12 @@ class UNet2DCondition(nn.Module):
                 if skip.shape[0] != x.shape[0]:
                     # skip saved before the CFG shared-prefix duplication
                     skip = jnp.tile(skip, (x.shape[0] // skip.shape[0], 1, 1, 1))
+                split_at = x.shape[-1]
                 x = jnp.concatenate([x, skip], axis=-1)
                 rmeta = ResnetMeta(up_i, j, x.shape[1])
                 inner = (lambda h, m=rmeta: hooks.resnet(m, h)) if hooks is not None else None
                 x = ResnetBlock(ch, groups=cfg.norm_num_groups, dtype=self.dtype,
+                                split_in=split_at,
                                 name=f"up_{up_i}_resnet_{j}")(x, temb, inner_hook=inner)
                 if cfg.attn_down[stage]:
                     x = transformer(f"up_{up_i}_{j}", x, f"up_{up_i}_attn_{j}")
