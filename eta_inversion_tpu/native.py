@@ -98,6 +98,110 @@ def decode_rle_mask(encoded, shape=(512, 512)) -> Optional[np.ndarray]:
     return out
 
 
+_loader_lib = None
+_loader_tried = False
+_LOADER_PATH = os.path.join(_NATIVE_DIR, "libimageloader.so")
+
+
+def _load_loader() -> Optional[ctypes.CDLL]:
+    global _loader_lib, _loader_tried
+    if _loader_lib is not None or _loader_tried:
+        return _loader_lib
+    _loader_tried = True
+    if not os.path.exists(_LOADER_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "libimageloader.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LOADER_PATH)
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.loader_submit.restype = ctypes.c_int
+        lib.loader_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_float)]
+        lib.loader_wait.restype = ctypes.c_int
+        lib.loader_wait.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
+        _loader_lib = lib
+    except OSError:
+        _loader_lib = None
+    return _loader_lib
+
+
+class NativeImageLoader:
+    """Threaded native image pipeline: libpng/libjpeg decode + the fused
+    crop/resize/normalize preprocess on a C++ thread pool (native/loader.cpp).
+    submit() returns immediately; get() blocks until that image is ready —
+    overlap the next batch's host IO with device compute.  Falls back to
+    Python threads + PIL when the native library is unavailable."""
+
+    def __init__(self, size: int, center_crop: bool = True, threads: int = 4,
+                 fallback_fn: Optional[Callable] = None,
+                 force_fallback: bool = False):
+        """force_fallback: use the Python-thread + fallback_fn path even when
+        the native library exists — eval uses it when the preprocess is in
+        PIL-LANCZOS pixel-parity mode, which the native area-resize does not
+        reproduce (the IO/decode still overlaps device compute)."""
+        self.size = size
+        self._lib = None if force_fallback else _load_loader()
+        self._handle = None
+        self._pending = {}
+        self._next_ticket = 0
+        self._pool = None
+        if self._lib is not None:
+            self._handle = ctypes.c_void_p(self._lib.loader_create(
+                threads, size, 1 if center_crop else 0))
+        else:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(threads)
+            self._fallback = fallback_fn
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def submit(self, path: str) -> int:
+        if self._handle is not None:
+            dst = np.empty((self.size, self.size, 3), np.float32)
+            ticket = self._lib.loader_submit(
+                self._handle, os.fspath(path).encode(),
+                dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            self._pending[ticket] = (dst, path)
+            return ticket
+        ticket = self._next_ticket
+        self._next_ticket += 1
+        self._pending[ticket] = (self._pool.submit(self._fallback, path), path)
+        return ticket
+
+    def get(self, ticket: int) -> np.ndarray:
+        """(1, size, size, 3) float32 [-1, 1]."""
+        dst, path = self._pending.pop(ticket)
+        if self._handle is not None:
+            status = self._lib.loader_wait(self._handle, ticket)
+            if status != 1:
+                raise IOError(f"native loader failed to decode {path!r}")
+            return dst[None]
+        out = np.asarray(dst.result(), np.float32)
+        return out if out.ndim == 4 else out[None]
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.loader_destroy(self._handle)
+            self._handle = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class Prefetcher:
     """Worker-thread pipeline: overlap host-side sample loading/preprocessing
     with device compute (the reference loads synchronously per sample,

@@ -58,10 +58,35 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         em = dict(edit_method)
         state["editor"] = load_editor(inverter, em.pop("type"), **em)
 
+    # native threaded image pipeline: decode+preprocess the next batch while
+    # the chip runs the current one (eta_inversion_tpu/native.py,
+    # native/loader.cpp; the reference loads synchronously per sample,
+    # /root/reference/eval.py:84-100)
+    loader_state = {"loader": None, "tickets": {}}
+
+    def ensure_loader():
+        if loader_state["loader"] is None:
+            from eta_inversion_tpu.native import NativeImageLoader
+
+            pre = state["preproc"]
+            loader_state["loader"] = NativeImageLoader(
+                pre.size, pre.center_crop, threads=4, fallback_fn=pre,
+                force_fallback=pre.pil_resize)
+        return loader_state["loader"]
+
+    def prefetch(i, sample):
+        f = sample.get("image_file")
+        if f is not None:
+            loader_state["tickets"][i] = ensure_loader().submit(f)
+
     def sample_args(i, sample):
-        image_file = sample.get("image_file")
-        image = state["preproc"](
-            image_file if image_file is not None else sample["image"])
+        ticket = loader_state["tickets"].pop(i, None)
+        if ticket is not None:
+            image = loader_state["loader"].get(ticket)
+        else:
+            image_file = sample.get("image_file")
+            image = state["preproc"](
+                image_file if image_file is not None else sample["image"])
         # per-sample editing config keyed by editor type (reference eval.py:94)
         edit_cfg = sample["edit"].get(editor_type)
         if "zT_gt" in sample and isinstance(edit_cfg, dict):
@@ -77,6 +102,13 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         print(f"[{i}] saved {sample['edit_image_file']}")
 
     pending = []  # (i, sample) batch accumulator
+    inflight = []  # dispatched-but-unsaved device batches
+
+    def drain_inflight(keep: int = 0):
+        while len(inflight) > keep:
+            idxs, samples, res = inflight.pop(0)
+            for j, (i, s) in enumerate(zip(idxs, samples)):
+                save(s, res["image"][j], i)  # blocks on the device here
 
     def flush_batch():
         if not pending:
@@ -97,8 +129,10 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         if res is None:
             print(f"batch {idxs}: combination unsupported, skipping")
             return
-        for j, (i, s) in enumerate(zip(idxs, samples)):
-            save(s, res["image"][j], i)
+        # JAX dispatch is asynchronous: keep one batch in flight so the next
+        # batch's host IO (native loader) and assembly overlap device compute
+        inflight.append((idxs, samples, res))
+        drain_inflight(keep=1)
 
     for i in range(len(data)):
         sample = data[i]
@@ -108,6 +142,7 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         gc.collect()
 
         if batch > 1:
+            prefetch(i, sample)
             pending.append((i, sample))
             if len(pending) == batch:
                 flush_batch()
@@ -122,6 +157,7 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
             continue
         save(sample, res["image"], i)
 
+    drain_inflight()
     # trailing partial batch runs per-sample to keep compiled shapes stable —
     # a real perf cliff (~batch x slower per image), so say so out loud
     if pending:
@@ -137,6 +173,9 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
             print(f"[{i}] combination unsupported, skipping")
         else:
             save(sample, res["image"], i)
+
+    if loader_state["loader"] is not None:
+        loader_state["loader"].close()
 
 
 def main(args):

@@ -63,3 +63,74 @@ def test_prefetcher_order_and_errors():
     assert next(it) == (0, 0)
     with pytest.raises(ValueError):
         list(it)
+
+
+# ---------------------------------------------------------------------------
+# NativeImageLoader (native/loader.cpp)
+# ---------------------------------------------------------------------------
+
+def _write_test_images(tmp_path):
+    from PIL import Image
+
+    rs = np.random.RandomState(5)
+    paths = []
+    for i, (h, w) in enumerate(((40, 56), (64, 64), (30, 22))):
+        arr = (rs.rand(h, w, 3) * 255).astype("uint8")
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append((str(p), arr))
+    # and one jpeg
+    arr = (rs.rand(48, 36, 3) * 255).astype("uint8")
+    p = tmp_path / "img_j.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+    paths.append((str(p), arr))
+    return paths
+
+
+def test_native_loader_matches_preprocess(tmp_path):
+    """Native decode+preprocess == PIL decode + native preprocess_image."""
+    from eta_inversion_tpu import native
+
+    if native._load_loader() is None:
+        pytest.skip("native loader unavailable")
+    paths = _write_test_images(tmp_path)
+    with native.NativeImageLoader(size=16, threads=2) as loader:
+        tickets = [loader.submit(p) for p, _ in paths]
+        for (p, arr), t in zip(paths, tickets):
+            got = loader.get(t)
+            assert got.shape == (1, 16, 16, 3)
+            from PIL import Image
+
+            # compare against PIL's decode of the same FILE (jpeg is lossy,
+            # so the pre-compression array is not the reference)
+            decoded = np.asarray(Image.open(p).convert("RGB"))
+            want = native.preprocess_image(decoded, 16, True)
+            if p.endswith(".png"):  # lossless -> exact
+                np.testing.assert_allclose(got, want, atol=1e-6)
+            else:  # libjpeg vs PIL IDCT may differ by a few LSBs
+                assert np.mean(np.abs(got - want)) < 0.02
+
+
+def test_native_loader_error_and_fallback(tmp_path):
+    from eta_inversion_tpu import native
+
+    if native._load_loader() is not None:
+        with native.NativeImageLoader(size=8, threads=1) as loader:
+            t = loader.submit(str(tmp_path / "missing.png"))
+            with pytest.raises(IOError):
+                loader.get(t)
+
+    # forced-fallback path: Python threads + the supplied callable
+    calls = []
+
+    def fake_pre(path):
+        calls.append(path)
+        return np.zeros((1, 8, 8, 3), np.float32)
+
+    with native.NativeImageLoader(size=8, threads=2, fallback_fn=fake_pre,
+                                  force_fallback=True) as loader:
+        assert not loader.native
+        t1, t2 = loader.submit("a.png"), loader.submit("b.png")
+        assert loader.get(t1).shape == (1, 8, 8, 3)
+        assert loader.get(t2).shape == (1, 8, 8, 3)
+    assert sorted(calls) == ["a.png", "b.png"]
