@@ -70,23 +70,29 @@ def main():
     if batch > 1:
         from eta_inversion_tpu.editing.batched import edit_batch
 
-        def run():
+        def dispatch():
             res = edit_batch(editor, images, srcs, tgts,
                              cfgs=[cfg] * batch, inv_cfgs=[inv_cfg] * batch)
-            return float(np.asarray(res["image"]).mean())
+            return res["image"]
     else:
-        def run():
+        def dispatch():
             res = editor.edit(images, srcs[0], tgts[0], cfg=cfg, inv_cfg=inv_cfg)
-            return float(np.asarray(res["image"]).mean())
+            return res["image"]
+
+    def run():
+        return float(np.asarray(dispatch()).mean())
 
     t0 = time.time()
     m = run()
     compile_s = time.time() - t0
     print(f"# warmup (compile+run): {compile_s:.1f}s, mean={m:.5f}", file=sys.stderr)
 
+    # steady-state throughput: batches dispatch back-to-back (JAX async) so
+    # per-batch host prep overlaps device compute — the same pipeline eval.py
+    # runs (one batch in flight); synced at the end, total time / total edits
     t0 = time.time()
-    for _ in range(repeats):
-        m = run()
+    outs = [dispatch() for _ in range(repeats)]
+    m = float(np.mean([np.asarray(o).mean() for o in outs]))
     per_edit = (time.time() - t0) / repeats / batch
 
     baseline_s = 2.0  # v5e target from BASELINE.md
