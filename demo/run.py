@@ -12,10 +12,9 @@ def main():
         import gradio  # noqa: F401
     except ImportError:
         raise SystemExit(
-            "gradio is not installed in this environment. The demo UI requires "
-            "it; the editing backend (demo/manager.py EditorManager) works "
-            "without gradio — see demo/demo_utils.py build_app for the UI "
-            "definition.")
+            "gradio is not installed in this environment — run the "
+            "dependency-free web demo instead:  python demo/web.py "
+            "(same EditorManager backend, stdlib http.server UI).")
     from demo.demo_utils import build_app
 
     app = build_app()

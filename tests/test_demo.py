@@ -171,3 +171,60 @@ def test_build_app_click_runs_backend(fake_gradio):
         False, 0.4, 0.6, "", "", "", 2.0, 0.0, 0.4, 10)
     assert err == ""
     assert out_img is not None and out_img.shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# stdlib web demo (demo/web.py) — actually runnable in this offline env
+# ---------------------------------------------------------------------------
+
+def test_web_demo_end_to_end(tmp_path):
+    import base64
+    import io
+    import threading
+    import urllib.request
+    import uuid
+
+    import numpy as np
+    from PIL import Image
+
+    from demo import web
+
+    server = web.serve(port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # form page renders with every registry entry
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+        for name in web.INVERTERS + web.EDITORS:
+            assert name in page
+
+        # POST a real edit on the tiny model
+        rs = np.random.RandomState(0)
+        img = Image.fromarray((rs.rand(20, 20, 3) * 255).astype("uint8"))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        boundary = uuid.uuid4().hex
+        fields = {"model": "tiny", "inverter": "diffinv", "editor": "simple",
+                  "source_prompt": "a cat", "target_prompt": "a tiger",
+                  "steps": "4", "gs_fwd": "", "gs_bwd": ""}
+        body = b""
+        for k, v in fields.items():
+            body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="{k}"\r\n\r\n{v}\r\n').encode()
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="image"; filename="in.png"\r\n'
+                 "Content-Type: image/png\r\n\r\n").encode()
+        body += buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/edit", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        resp = urllib.request.urlopen(req, timeout=600).read().decode()
+        assert "err" not in resp or "base64" in resp, resp[-500:]
+        assert "data:image/png;base64," in resp, resp[-500:]
+        b64 = resp.split("data:image/png;base64,")[1].split('"')[0]
+        out = Image.open(io.BytesIO(base64.b64decode(b64)))
+        assert out.size[0] > 0
+    finally:
+        server.shutdown()
