@@ -67,20 +67,28 @@ def main():
         cfg = None
         inv_cfg = None
 
+    # device-side uint8 conversion before the host fetch (the real pipeline:
+    # StablePostProc does the same for png writing; the fp32 image is 4x the
+    # transfer bytes and the host link dominates decode wall time)
+    @jax.jit
+    def to_u8(x):
+        x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.round(x * 255.0).astype(jnp.uint8)
+
     if batch > 1:
         from eta_inversion_tpu.editing.batched import edit_batch
 
         def dispatch():
             res = edit_batch(editor, images, srcs, tgts,
                              cfgs=[cfg] * batch, inv_cfgs=[inv_cfg] * batch)
-            return res["image"]
+            return to_u8(res["image"])
     else:
         def dispatch():
             res = editor.edit(images, srcs[0], tgts[0], cfg=cfg, inv_cfg=inv_cfg)
-            return res["image"]
+            return to_u8(res["image"])
 
     def run():
-        return float(np.asarray(dispatch()).mean())
+        return float(np.asarray(dispatch()).astype(np.float32).mean() / 127.5 - 1.0)
 
     t0 = time.time()
     m = run()
@@ -92,7 +100,8 @@ def main():
     # runs (one batch in flight); synced at the end, total time / total edits
     t0 = time.time()
     outs = [dispatch() for _ in range(repeats)]
-    m = float(np.mean([np.asarray(o).mean() for o in outs]))
+    m = float(np.mean([np.asarray(o).astype(np.float32).mean() / 127.5 - 1.0
+                       for o in outs]))
     per_edit = (time.time() - t0) / repeats / batch
 
     baseline_s = 2.0  # v5e target from BASELINE.md
