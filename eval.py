@@ -21,13 +21,29 @@ from eta_inversion_tpu.utils.debug_utils import enable_deterministic
 enable_deterministic()
 
 
-def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
+def _parse_mesh(spec):
+    """"DATAxMODEL" (e.g. "4x2") or "N" -> (data, model_parallel) or None."""
+    if not spec:
+        return None
+    parts = str(spec).lower().split("x")
+    dp = int(parts[0])
+    mp = int(parts[1]) if len(parts) > 1 else 1
+    return dp, mp
+
+
+def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
+             mesh: str = None):
+    import contextlib
+
     import numpy as np
     from PIL import Image
 
     from eta_inversion_tpu import load_editor, load_inverter
     from eta_inversion_tpu.models import load_diffusion_model
     from eta_inversion_tpu.utils.eval_utils import EditResultData
+
+    mesh_spec = _parse_mesh(mesh)
+    stack = contextlib.ExitStack()
 
     path = Path(cfg["path"])
     if path.exists() and skip_existing_dirs:
@@ -54,6 +70,21 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         model_cfg = dict(model_cfg)
         state["model"], (state["preproc"], state["postproc"]) = \
             load_diffusion_model(model_cfg.pop("type"), **model_cfg)
+        if mesh_spec is not None:
+            # data x model device mesh: batch shards over ICI "data",
+            # attention/MLP parameter matrices over "model" (replaces the
+            # reference's process-per-GPU pool, utils/device_pool.py:10-61)
+            from eta_inversion_tpu.models import DiffusionModel
+            from eta_inversion_tpu.parallel.mesh import make_mesh
+            from eta_inversion_tpu.parallel.sharding import shard_params
+
+            dp, mp = mesh_spec
+            m = make_mesh(dp * mp, model_parallel=mp)
+            base = state["model"]
+            state["model"] = DiffusionModel(
+                base.preset, shard_params(base.params, m), base.tokenizer,
+                dtype=base.dtype, schedule=base.schedule_config)
+            stack.enter_context(m)
         inverter = load_inverter(state["model"], method.pop("type"), **method)
         em = dict(edit_method)
         state["editor"] = load_editor(inverter, em.pop("type"), **em)
@@ -134,48 +165,49 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1):
         inflight.append((idxs, samples, res))
         drain_inflight(keep=1)
 
-    for i in range(len(data)):
-        sample = data[i]
-        if sample is None:
-            continue  # resume: output exists
-        ensure_loaded()
-        gc.collect()
+    with stack:  # holds the device mesh when --mesh is set
+        for i in range(len(data)):
+            sample = data[i]
+            if sample is None:
+                continue  # resume: output exists
+            ensure_loaded()
+            gc.collect()
 
-        if batch > 1:
-            prefetch(i, sample)
-            pending.append((i, sample))
-            if len(pending) == batch:
-                flush_batch()
-            continue
+            if batch > 1:
+                prefetch(i, sample)
+                pending.append((i, sample))
+                if len(pending) == batch:
+                    flush_batch()
+                continue
 
-        image, edit_cfg, inv_cfg = sample_args(i, sample)
-        res = state["editor"].edit(image, sample["source_prompt"],
-                                   sample["edit"]["target_prompt"], cfg=edit_cfg,
-                                   inv_cfg=inv_cfg)
-        if res is None:
-            print(f"[{i}] combination unsupported, skipping")
-            continue
-        save(sample, res["image"], i)
-
-    drain_inflight()
-    # trailing partial batch runs per-sample to keep compiled shapes stable —
-    # a real perf cliff (~batch x slower per image), so say so out loud
-    if pending:
-        print(f"tail of {len(pending)} sample(s) < batch {batch}: falling back "
-              f"to per-sample edits (slower; pad the dataset to a multiple of "
-              f"the batch to avoid this)")
-    for i, sample in pending:
-        image, edit_cfg, inv_cfg = sample_args(i, sample)
-        res = state["editor"].edit(image, sample["source_prompt"],
-                                   sample["edit"]["target_prompt"], cfg=edit_cfg,
-                                   inv_cfg=inv_cfg)
-        if res is None:
-            print(f"[{i}] combination unsupported, skipping")
-        else:
+            image, edit_cfg, inv_cfg = sample_args(i, sample)
+            res = state["editor"].edit(image, sample["source_prompt"],
+                                       sample["edit"]["target_prompt"], cfg=edit_cfg,
+                                       inv_cfg=inv_cfg)
+            if res is None:
+                print(f"[{i}] combination unsupported, skipping")
+                continue
             save(sample, res["image"], i)
 
-    if loader_state["loader"] is not None:
-        loader_state["loader"].close()
+        drain_inflight()
+        # trailing partial batch runs per-sample to keep compiled shapes stable —
+        # a real perf cliff (~batch x slower per image), so say so out loud
+        if pending:
+            print(f"tail of {len(pending)} sample(s) < batch {batch}: falling back "
+                  f"to per-sample edits (slower; pad the dataset to a multiple of "
+                  f"the batch to avoid this)")
+        for i, sample in pending:
+            image, edit_cfg, inv_cfg = sample_args(i, sample)
+            res = state["editor"].edit(image, sample["source_prompt"],
+                                       sample["edit"]["target_prompt"], cfg=edit_cfg,
+                                       inv_cfg=inv_cfg)
+            if res is None:
+                print(f"[{i}] combination unsupported, skipping")
+            else:
+                save(sample, res["image"], i)
+
+        if loader_state["loader"] is not None:
+            loader_state["loader"].close()
 
 
 def main(args):
@@ -191,7 +223,8 @@ def main(args):
     for cfg in cfgs:
         print(f"=== {cfg['path']}")
         run_eval(cfg, override=args.override,
-                 skip_existing_dirs=args.skip_existing_dirs, batch=args.batch)
+                 skip_existing_dirs=args.skip_existing_dirs, batch=args.batch,
+                 mesh=args.mesh)
 
 
 if __name__ == "__main__":
@@ -208,4 +241,9 @@ if __name__ == "__main__":
                         help="Pair-batched editing: run N samples per compiled "
                              "program (supported editors: simple/ptp/"
                              "masactrl/pnp/invedit/pix2pix_zero)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh DATAxMODEL (e.g. 4x2) or DATA: "
+                             "shard the edit batch over ICI data-parallel "
+                             "chips with optional tensor-parallel params; "
+                             "combine with --batch >= the data axis")
     main(parser.parse_args())

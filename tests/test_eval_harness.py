@@ -109,3 +109,34 @@ def test_eval_and_metrics_end_to_end(workspace):
     sample = res[0]
     assert sample["edit_image"] is not None
     assert set(sample["metrics"]) == {"mse", "psnr", "ssim"}
+
+
+def test_eval_on_device_mesh(workspace):
+    """--mesh DATAxMODEL: the sharded sweep must write the same images as the
+    single-device run (virtual 8-device CPU mesh from conftest)."""
+    import shutil
+
+    import eval as eval_cli
+    from eta_inversion_tpu.utils.eval_utils import create_configs
+
+    cfgs, _ = create_configs("testcfg")
+    eval_cli.run_eval(cfgs[0])
+    out = Path(cfgs[0]["path"])
+
+    mesh_dir = Path(str(out) + "_mesh")
+    shutil.copytree(out, mesh_dir)
+    for f in (mesh_dir / "imgs").glob("*.png"):
+        f.unlink()
+    cfg_m = dict(cfgs[0])
+    cfg_m["path"] = str(mesh_dir)
+    eval_cli.run_eval(cfg_m, batch=2, mesh="4x2")
+
+    import numpy as np
+    from PIL import Image
+
+    files = sorted((out / "imgs").glob("*.png"))
+    assert files
+    for f in files:
+        a = np.asarray(Image.open(f))
+        b = np.asarray(Image.open(mesh_dir / "imgs" / f.name))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, f.name
