@@ -44,8 +44,12 @@ def run_compute_metric(eval_dir: str, metric_name: str, override: bool = False,
 
     metric = EditMetric(metric_name, **(metric_kwargs or {}))
     results = []
-    for i in range(len(data)):
-        sample = data[i]
+    # worker-thread prefetch: sample image-pair loading (PIL decode of source
+    # + edited pngs inside data[i]) overlaps the device-side metric forward
+    # (the reference loads synchronously per sample, compute_metrics.py:98-104)
+    from eta_inversion_tpu.native import Prefetcher
+
+    for i, sample in Prefetcher(lambda j: data[j], range(len(data))):
         name = data.get_edit_image_name(i)
         try:
             if sample["edit_image"] is None:
