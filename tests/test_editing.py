@@ -323,3 +323,42 @@ def test_cross_fold_respects_store_and_gates():
     assert stored.cross_fold(meta, q, kv, kv) is None
     off = PtpHooks(**{**base, "fold_cross_attn": False})
     assert off.cross_fold(meta, q, kv, kv) is None
+
+
+def test_cfg_prefix_safe_gates():
+    """Shared-prefix dedup gating: ptp by threshold, masactrl by start layer."""
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.editing.controller import BatchLayout
+    from eta_inversion_tpu.editing.masactrl import MasaCtrlHooks
+    from eta_inversion_tpu.editing.ptp import PtpHooks
+    from eta_inversion_tpu.ops.attn_ctrl import AttnHooks, AttnLayerMeta
+
+    first_self = AttnLayerMeta(0, False, "down", 64, 0, -1, 8)
+    layout = BatchLayout(2, True)
+    base = dict(layout=layout, mode="replace", alpha_i=jnp.ones((1, 1, 1, 77)),
+                self_gate=jnp.asarray(True), mapper_mat=jnp.zeros((1, 77, 77)))
+
+    # ptp: safe iff the first self layer is above the replacement threshold
+    assert PtpHooks(attn_replace_thres=32 * 32, **base).cfg_prefix_safe(first_self)
+    assert not PtpHooks(attn_replace_thres=64 * 64, **base).cfg_prefix_safe(first_self)
+    assert PtpHooks(attn_replace_thres=64 * 64, do_edit=False,
+                    **base).cfg_prefix_safe(first_self)
+
+    # masactrl: safe iff control starts past the first self layer
+    mk = dict(layout=layout, gate=jnp.asarray(True))
+    assert MasaCtrlHooks(start_layer=10, **mk).cfg_prefix_safe(first_self)
+    assert MasaCtrlHooks(start_layer=1, **mk).cfg_prefix_safe(first_self)
+    assert not MasaCtrlHooks(start_layer=0, **mk).cfg_prefix_safe(first_self)
+
+    # conservative default for arbitrary hooks
+    assert not AttnHooks().cfg_prefix_safe(first_self)
+
+
+def test_parse_mesh_spec():
+    from eval import _parse_mesh
+
+    assert _parse_mesh(None) is None
+    assert _parse_mesh("") is None
+    assert _parse_mesh("8") == (8, 1)
+    assert _parse_mesh("4x2") == (4, 2)
