@@ -20,6 +20,7 @@ import base64
 import html
 import io
 import json
+import os
 import sys
 from email import message_from_bytes
 from email.policy import HTTP
@@ -158,7 +159,10 @@ class DemoHandler(BaseHTTPRequestHandler):
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
                 Image.open(io.BytesIO(form["image"])).convert("RGB").save(f.name)
                 cfg = build_cfg(form, f.name)
-            res = type(self).manager.run(cfg)
+            try:
+                res = type(self).manager.run(cfg)
+            finally:
+                os.unlink(f.name)  # one leaked PNG per request otherwise
             if res.get("edit_image") is None:
                 raise ValueError(res.get("error", "edit failed"))
             buf = io.BytesIO()

@@ -1,4 +1,12 @@
-"""Dataset base classes (counterpart of /root/reference/dataset/base.py)."""
+"""Dataset protocol: sized, indexable, iterable sample sources.
+
+Counterpart of /root/reference/dataset/base.py — the contract carried over is
+behavioral only: `len()` + integer indexing yield sample dicts, iteration
+walks indices in order, and `DatasetSubset` must reproduce the reference's
+selection semantics exactly (seed-0 `random.Random` shuffle over the index
+list, truncation via `length`, explicit `indices` overriding `length`) so that
+result trees stay byte-compatible with reference sweeps.
+"""
 
 from __future__ import annotations
 
@@ -7,37 +15,32 @@ from typing import Any, Dict, List, Optional, Type
 
 
 class DatasetBase:
-    def __init__(self) -> None:
-        self._iter_idx: Optional[int] = None
+    """Sized + indexable sample source; iteration is derived from those two."""
 
     def __iter__(self):
-        self._iter_idx = 0
-        return self
+        return (self[i] for i in range(len(self)))
 
-    def __next__(self):
-        if self._iter_idx >= len(self):
-            self._iter_idx = None
-            raise StopIteration
-        x = self[self._iter_idx]
-        self._iter_idx += 1
-        return x
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:  # pragma: no cover
+        raise NotImplementedError
 
 
 class DatasetSubset(DatasetBase):
-    """Shuffled/cut/index-selected subset (reference base.py:25-65)."""
+    """View over another dataset: an index list, optionally seed-shuffled and
+    cut to `length` (reference base.py:25-65 selection semantics)."""
 
     def __init__(self, dataset_cls: Type[DatasetBase], length: Optional[int] = None,
                  indices: Optional[List[int]] = None, shuffle: bool = True,
                  seed: int = 0, **kwargs):
-        super().__init__()
         self.dataset = dataset_cls(**kwargs)
-        self.length = length
-        if indices is None:
-            self.ind = list(range(len(self.dataset)))
-        else:
-            self.ind = list(indices)
-            self.length = len(self.ind)
+        explicit = indices is not None
+        self.ind = list(indices) if explicit else list(range(len(self.dataset)))
+        self.length = len(self.ind) if explicit else length
         if shuffle:
+            # must match the reference bit-for-bit: stdlib Random(seed)
+            # in-place shuffle of the full index list, truncation afterwards
             random.Random(seed).shuffle(self.ind)
 
     @property
@@ -45,9 +48,9 @@ class DatasetSubset(DatasetBase):
         return self.dataset.skip_img_load
 
     def __len__(self) -> int:
-        return self.length
+        return self.length if self.length is not None else len(self.ind)
 
-    def __getitem__(self, idx) -> Dict[str, Any]:
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
         return self.dataset[self.ind[idx]]
 
     def __repr__(self) -> str:

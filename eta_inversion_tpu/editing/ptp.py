@@ -105,12 +105,8 @@ def aggregate_store(store: Dict[str, jnp.ndarray], keys: List[str], res: int,
     per-step maps or across-step sums (downstream consumers max-normalize)."""
     maps = []
     for k in keys:
-        m = store[k]  # (n*H, hw, 77) or (n, H, hw, 77)
-        if m.ndim == 3:
-            m = m.reshape(n_prompts, -1, res, res, m.shape[-1])
-        else:
-            m = m.reshape(n_prompts, -1, res, res, m.shape[-1])
-        maps.append(m[select])
+        m = store[k]  # (n*H, hw, 77) or (n, H, hw, 77) — same reshape either way
+        maps.append(m.reshape(n_prompts, -1, res, res, m.shape[-1])[select])
     out = jnp.concatenate(maps, axis=0)
     return out.mean(axis=0)
 
@@ -279,13 +275,16 @@ class PtpHooks(AttnHooks):
         return m2, s_t
 
     def cross_fold(self, meta: AttnLayerMeta, q, k, v):
-        """`probs` re-expressed without materializing the (B, H, Sq, 77)
-        probability tensor, so the short-K Pallas kernel applies: per-token
-        scalings fold into the target value matrix, and the P_src-probability
-        component rides B extra batch rows (q_src, k_src, M2 @ V_tgt) summed
-        back into the target rows.  Exact in exact arithmetic; enabled on TPU
-        (fold_cross_attn) where the materialized path costs 2.9 ms vs 1.3 ms
-        per 64x64 layer-call at batch 32 (scripts/attn_microbench3.py)."""
+        """`probs` re-expressed without materializing the fp32 (B, H, Sq, 77)
+        probability tensor: per-token scalings fold into the target value
+        matrix, and the P_src-probability component rides B extra batch rows
+        (q_src, k_src, M2 @ V_tgt) summed back into the target rows.  The win
+        comes from staying on the fused XLA einsum path (softmax folded into
+        the two contractions, no 80 MB probability intermediate) — short-K
+        shapes route to XLA, not Pallas (see attention() dispatch).  Exact in
+        exact arithmetic; enabled on TPU (fold_cross_attn) where the
+        materialized path costs 2.9 ms vs 1.3 ms per 64x64 layer-call at
+        batch 32 (scripts/attn_microbench3.py)."""
         if (not self.fold_cross_attn or not self.do_edit or not meta.is_cross
                 or self.layout.n_prompts < 2
                 or meta.store_key in self.store_keys):

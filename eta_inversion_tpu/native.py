@@ -29,11 +29,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always run make: it is incremental (no-op when up to date) and ensures a
+    # stale .so never shadows a newer .cpp
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "libimageproc.so"],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -108,11 +110,11 @@ def _load_loader() -> Optional[ctypes.CDLL]:
     if _loader_lib is not None or _loader_tried:
         return _loader_lib
     _loader_tried = True
-    if not os.path.exists(_LOADER_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "libimageloader.so"],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "libimageloader.so"],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LOADER_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LOADER_PATH)
@@ -154,6 +156,12 @@ class NativeImageLoader:
             self._handle = ctypes.c_void_p(self._lib.loader_create(
                 threads, size, 1 if center_crop else 0))
         else:
+            if fallback_fn is None:
+                raise RuntimeError(
+                    "NativeImageLoader: native library unavailable "
+                    f"({_LOADER_PATH} failed to build/load) and no fallback_fn "
+                    "was supplied; pass fallback_fn=preprocess to use the "
+                    "Python-thread path")
             import concurrent.futures
 
             self._pool = concurrent.futures.ThreadPoolExecutor(threads)

@@ -199,6 +199,13 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
         and sq >= min_flash_seq
         and sq % 512 == 0
         and d <= 512
+        # the kernel stages the FULL (d, sk) K and (sk, d) V per program (only
+        # q/o are block_q-tiled), double-buffered: at large d the staged K/V
+        # alone can blow the 64 MB VMEM scope (e.g. d=512 VAE attention on a
+        # 768px decode, sk=9216).  Budget: 4 copies (K+V, x2 buffering) of
+        # d*sk at the input dtype must fit in half the scope, leaving room
+        # for q/o/score tiles.
+        and (d <= 128 or 4 * d * sk * q.dtype.itemsize <= 32 * 1024 * 1024)
     )
     # measured v5e (scripts/attn_microbench.py, BH=256 S=1024 D=40): flash
     # 1.19 ms vs XLA 1.53 ms — the 32x32 self-attention layers also belong on
@@ -221,18 +228,24 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
-    # block sizes from on-chip sweeps at SD shapes (v5e): the onepass kernel
-    # wins at S<=1024; at S=4096 the blockwise kernel measured faster
-    # in-model (15.26 vs 15.73 ms/call at BH=256, bwd xprof trace r3)
-    if sk <= 1024:
-        block_q, block_k = 256, sk
-    else:
-        block_q = 256 if b * h <= 16 else 512
-        block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
-        if d > 128:
-            # large head dim (VAE single-head d=512): halve the k/v/score
-            # tiles to stay inside scoped VMEM
-            block_q, block_k = 256, min(block_k, 1024)
+    block_q, block_k = flash_block_sizes(b * h, sk, d)
     o = flash_attention_bhsd(qf, kf, vf, scale=float(scale),
                              block_q=block_q, block_k=block_k)
     return o.reshape(b, h, sq, d)
+
+
+def flash_block_sizes(bh: int, sk: int, d: int):
+    """Kernel block sizes for a (BH, S, D) self-attention call.
+
+    From on-chip sweeps at SD shapes (v5e): the onepass kernel (block_k == S)
+    wins at S <= 1024; at S = 4096 the blockwise kernel measured faster
+    in-model (15.26 vs 15.73 ms/call at BH=256, bwd xprof trace r3).  d > 128
+    (VAE single-head d=512) halves the k/v/score tiles to stay inside scoped
+    VMEM."""
+    if sk <= 1024:
+        return 256, sk
+    block_q = 256 if bh <= 16 else 512
+    block_k = next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
+    if d > 128:
+        return 256, min(block_k, 1024)
+    return block_q, block_k

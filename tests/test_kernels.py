@@ -69,3 +69,87 @@ def test_flash_onepass_kernel_interpret_matches_xla(bh, s, d):
                              interpret=True)
     np.testing.assert_allclose(np.asarray(o), _ref(q, k, v, scale),
                                rtol=2e-5, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Production-shape coverage (round-3 verdict item 5): the configs the real
+# model hits on-chip — S=4096 blockwise with block_k=2048, the d>128 VAE
+# branch, BH>16 — plus the dispatch itself routed through Pallas on CPU via
+# a monkeypatched on_tpu, so a dispatch bug fails this suite rather than a
+# 255-second on-chip bench warmup.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bh,s,d,bq,bk", [
+    (2, 4096, 40, 512, 2048),   # SD 64x64 self-attn, batch-8 production blocks
+    (1, 4096, 512, 256, 1024),  # VAE mid-attention at 512px decode (d>128)
+    (2, 1024, 512, 256, 1024),  # VAE mid-attention at 256px (onepass, d>128)
+])
+def test_flash_kernel_interpret_production_shapes(bh, s, d, bq, bk):
+    q, k, v = _mk(bh, s, d, seed=5)
+    scale = d ** -0.5
+    o = flash_attention_bhsd(q, k, v, scale=scale, block_q=bq, block_k=bk,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(o), _ref(q, k, v, scale),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_block_size_selection():
+    from eta_inversion_tpu.ops.flash_attention import flash_block_sizes
+
+    assert flash_block_sizes(256, 1024, 40) == (256, 1024)   # onepass
+    assert flash_block_sizes(256, 4096, 40) == (512, 2048)   # big-BH blockwise
+    assert flash_block_sizes(8, 4096, 40) == (256, 2048)     # small-BH
+    assert flash_block_sizes(1, 4096, 512) == (256, 1024)    # VAE d>128
+    assert flash_block_sizes(4, 1536, 64) == (256, 512)      # non-2048-divisible
+
+
+@pytest.mark.parametrize("b,h,s,d", [
+    (4, 8, 1024, 40),    # 32x32 self-attn layers (BH=32, onepass)
+    (1, 1, 4096, 512),   # VAE mid-attention
+    (2, 8, 4096, 40),    # 64x64 self-attn (blockwise)
+])
+def test_attention_dispatch_routes_flash_on_cpu(monkeypatch, b, h, s, d):
+    """attention() itself, with on_tpu forced True and the kernel in interpret
+    mode: exercises the block-size selection + reshape plumbing end-to-end."""
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "on_tpu", lambda: True)
+    called = {}
+    real = fa.flash_attention_bhsd
+
+    def spy(q, k, v, scale, block_q=512, block_k=512):
+        called["blocks"] = (block_q, block_k)
+        return real(q, k, v, scale=scale, block_q=block_q, block_k=block_k,
+                    interpret=True)
+
+    monkeypatch.setattr(fa, "flash_attention_bhsd", spy)
+    rs = np.random.RandomState(9)
+    q = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+    o = fa.attention(q, k, v)
+    assert called["blocks"] == fa.flash_block_sizes(b * h, s, d)
+    want = fa.xla_attention(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_attention_dispatch_vmem_gate(monkeypatch):
+    """d>128 with a long key range must fall back to XLA: the kernel stages
+    full (d, S) K / (S, d) V per program and would blow the 64 MB VMEM scope
+    (e.g. 768px VAE decode, S=9216, d=512)."""
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "on_tpu", lambda: True)
+
+    def boom(*a, **k):
+        raise AssertionError("flash kernel must not be called for this shape")
+
+    monkeypatch.setattr(fa, "flash_attention_bhsd", boom)
+    rs = np.random.RandomState(10)
+    shape = (1, 1, 9216, 512)
+    q = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
+    o = fa.attention(q, k, v, min_flash_seq=1024)
+    assert o.shape == shape  # served by the XLA path
