@@ -178,7 +178,12 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
     latent2 = jnp.concatenate([zT, zT], axis=0)  # [s rows; t rows]
     z0 = inv.diffusion_backward(latent2, ctx_bwd, inv_res, ctrl=ctrl)
     image = inv.decode(z0)
+    # slicing rows of a "data"-sharded array de-shards it (the half-slice
+    # spans only half the devices); re-place so downstream consumers
+    # (metrics, postprocess) stay data-parallel under an active mesh
+    from ..parallel.sharding import shard_batch
+
     return {
-        "image_inv": image[:B], "image": image[B:],
-        "latent_inv": z0[:B], "latent": z0[B:],
+        "image_inv": shard_batch(image[:B]), "image": shard_batch(image[B:]),
+        "latent_inv": shard_batch(z0[:B]), "latent": shard_batch(z0[B:]),
     }

@@ -109,7 +109,8 @@ class DiffusionInversion:
             # casts at its input, scheduler math is fp32
             return (z * model.scaling_factor).astype(jnp.float32)
 
-        return self._cached("encode", (), fn)(self.model.params, image)
+        return self._cached("encode", (), fn)(self.model.params,
+                                              self._shard_batch(image))
 
     def decode(self, latent) -> jnp.ndarray:
         model = self.model
@@ -121,7 +122,8 @@ class DiffusionInversion:
                                    z / model.scaling_factor,
                                    method=AutoencoderKL.decode)
 
-        return self._cached("decode", (), fn)(self.model.params, latent)
+        return self._cached("decode", (), fn)(self.model.params,
+                                              self._shard_batch(latent))
 
     def create_context(self, prompt: str, negative_prompt: Optional[str] = "") -> jnp.ndarray:
         """[uncond; cond] embeddings, shape (2, 77, D) — reference
@@ -394,6 +396,8 @@ class DiffusionInversion:
         state0 = ctrl.init_state(self, latent, context)
         jfn = self._cached("fwd", (gs, latent.shape, context.shape,
                                    ctrl.static_key(), layout), fn)
+        latent = self._shard_batch(latent)
+        context = self._shard_batch(context)
         out = jfn(self.model.params, latent, context, extras, state0, rng)
         out["fwd_state"] = out.pop("state")
         return out
@@ -428,6 +432,8 @@ class DiffusionInversion:
         jfn = self._cached("bwd", (latent.shape, context.shape,
                                    ctrl.static_key(), layout, len(ts),
                                    tuple(sorted(extras)), tuple(sorted(carry_extras))), fn)
+        latent = self._shard_batch(latent)
+        context = self._shard_batch(context)
         return jfn(self.model.params, latent, context, extras, carry_extras, state0, rng)
 
     # --------------------------------------------------------------- user API
@@ -481,6 +487,18 @@ class DiffusionInversion:
                            rng=rng)
 
     # ------------------------------------------------------------------- jit
+
+    @staticmethod
+    def _shard_batch(x):
+        """Explicitly split a batch-leading input over an active "data" mesh
+        axis (eval.py --mesh / dryrun_multichip).  Without this GSPMD
+        replicates the batch and every data-device computes it redundantly —
+        this is what makes the mesh path the working TPU replacement for the
+        reference's per-GPU process pool (utils/device_pool.py:10-61).
+        No-op (and zero overhead) when no mesh context is active."""
+        from ..parallel.sharding import shard_batch
+
+        return shard_batch(x)
 
     def _cached(self, tag: str, extra_key: Tuple, fn):
         key = (tag, self.config_key(), extra_key)

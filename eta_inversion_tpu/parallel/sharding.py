@@ -11,11 +11,43 @@ model_parallel > 1.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def active_data_mesh() -> Optional[Mesh]:
+    """The Mesh installed by `with mesh:` if it has a "data" axis of size > 1,
+    else None.  This is how the engine's jit entry points discover that an
+    eval sweep (eval.py --mesh) or dryrun put them under a device mesh."""
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - jax internals moved
+        return None
+    if m is None or m.empty or m.shape.get("data", 1) <= 1:
+        return None
+    return m
+
+
+def shard_batch(x, mesh: Optional[Mesh] = None):
+    """Place one batch-leading array so its dim 0 splits over the "data" axis.
+
+    No-op when no data mesh is active or the leading dim doesn't divide by the
+    axis size (e.g. a trailing partial batch).  This is the explicit input
+    placement that makes eval.py --mesh genuinely data-parallel: without it,
+    GSPMD replicates un-annotated inputs and every "data" device computes the
+    full batch redundantly."""
+    mesh = mesh if mesh is not None else active_data_mesh()
+    if mesh is None or x is None:
+        return x
+    dp = mesh.shape["data"]
+    if getattr(x, "ndim", 0) < 1 or x.shape[0] % dp != 0:
+        return x
+    return jax.device_put(x, NamedSharding(mesh, P("data")))
 
 # kernel-name suffixes -> which matmul dimension shards over "model"
 _COL_PARALLEL = ("to_q", "to_k", "to_v", "geglu_proj", "fc1", "q_proj", "k_proj",

@@ -130,6 +130,68 @@ def test_batched_hook_editor_sharded(tiny_model, model_parallel):
                                rtol=5e-4, atol=5e-5)
 
 
+def _spec_names(arr):
+    spec = getattr(arr.sharding, "spec", None) or ()
+    return {n for part in spec
+            for n in (part if isinstance(part, tuple) else (part,))
+            if n is not None}
+
+
+def test_active_data_mesh_and_shard_batch(tiny_model):
+    from eta_inversion_tpu.parallel.sharding import active_data_mesh, shard_batch
+
+    assert active_data_mesh() is None  # no mesh context
+    x = jnp.zeros((8, 4))
+    assert shard_batch(x) is x  # no-op outside a mesh
+    mesh = make_mesh(8, model_parallel=2)
+    with mesh:
+        m = active_data_mesh()
+        assert m is not None and m.shape["data"] == 4
+        y = shard_batch(x)
+        assert "data" in _spec_names(y)
+        # indivisible leading dim: left alone (trailing partial batch)
+        z = shard_batch(jnp.zeros((3, 4)))
+        assert "data" not in _spec_names(z)
+
+
+def test_eval_mesh_path_actually_partitions(tiny_model):
+    """The PRODUCTION batched-edit path (edit_batch under `with mesh:`, the
+    exact eval.py --mesh flow) must genuinely split the batch over the "data"
+    axis: outputs carry a "data" sharding spec and each device holds only
+    B/data_parallel rows — not a replicated copy (redundant compute would
+    still be value-correct, which is why value tests can't catch this)."""
+    from eta_inversion_tpu import load_editor, load_inverter
+    from eta_inversion_tpu.editing.batched import edit_batch
+
+    mesh = make_mesh(8, model_parallel=2)
+    dp = mesh.shape["data"]
+    params = shard_params(tiny_model.params, mesh)
+    model = DiffusionModel(tiny_model.preset, params, tiny_model.tokenizer,
+                           dtype=tiny_model.dtype,
+                           schedule=tiny_model.schedule_config)
+    rs = np.random.RandomState(3)
+    B = 4
+    images = jnp.asarray(rs.rand(B, 16, 16, 3).astype("float32") * 2 - 1)
+    cfg = {"is_replace_controller": True, "cross_replace_steps": 0.8,
+           "self_replace_steps": 0.5}
+    with mesh:
+        inv = load_inverter(model, "etainv", num_inference_steps=2,
+                            eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=2)
+        editor = load_editor(inv, "ptp")
+        # engine-level entry points place their batch inputs explicitly
+        lat = inv.encode(images)
+        assert "data" in _spec_names(lat)
+        res = edit_batch(editor, images, [f"a cat {i}" for i in range(B)],
+                         [f"a dog {i}" for i in range(B)], cfgs=[cfg] * B,
+                         inv_cfgs=[{"edit_word_idx": (1, 1)}] * B)
+        for key in ("image", "image_inv", "latent", "latent_inv"):
+            arr = res[key]
+            assert "data" in _spec_names(arr), (key, arr.sharding)
+            shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+            assert shard_rows == {B // dp}, (key, shard_rows)
+        assert np.isfinite(np.asarray(res["image"])).all()
+
+
 def test_dryrun_multichip_driver_invocation():
     """Run dryrun_multichip exactly the way the driver does: a clean shell
     with no XLA_FLAGS pre-set and the ambient (possibly single-device)
