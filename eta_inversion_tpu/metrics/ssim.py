@@ -81,8 +81,13 @@ def ms_ssim(x, y, data_range: float = 1.0):
         s, cs = ssim_parts(x, y, win, data_range=data_range)
         if i < levels - 1:
             mcs.append(jax.nn.relu(cs))
+            # pytorch-msssim downsamples with avg_pool2d(2, padding=s % 2):
+            # torch's pool padding is SYMMETRIC (zeros on both sides, included
+            # in the /4 average).  Right-side-only padding looks plausible and
+            # yields the same output shape but different border values — pinned
+            # against the literal oracle in tests/oracle_msssim.py.
             pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
-            pads = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            pads = ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))
             x = jnp.pad(x, pads)
             y = jnp.pad(y, pads)
             x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),

@@ -97,7 +97,9 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses F.gelu's default, not the
+        # tanh approximation (pinned by tests/test_torch_neural_crosscheck.py)
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

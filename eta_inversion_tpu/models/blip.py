@@ -133,7 +133,7 @@ class _BertLayer(nn.Module):
         x = _BertAttention(self.num_heads, causal=False, dtype=self.dtype,
                            name="cross_attn")(x, enc)
         h = nn.Dense(c * 4, dtype=self.dtype, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF BERT/BLIP: exact gelu
         h = nn.Dense(c, dtype=self.dtype, name="fc2")(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32,
                             name="output_layer_norm")(x + h)
@@ -162,7 +162,7 @@ class BlipTextDecoder(nn.Module):
                            name=f"layers_{i}")(x, encoder_hidden)
         # LM head: transform (dense+gelu+LN) then tied decoder
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="head_transform")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # HF BERT/BLIP: exact gelu
         h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="head_layer_norm")(h)
         logits = embed.attend(h.astype(self.dtype))
         bias = self.param("head_bias", nn.initializers.zeros, (cfg.vocab_size,))

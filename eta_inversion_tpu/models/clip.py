@@ -44,7 +44,7 @@ class CLIPVisionConfig:
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu
+    return lambda x: nn.gelu(x, approximate=False)  # HF 'gelu' is exact
 
 
 class CLIPAttention(nn.Module):

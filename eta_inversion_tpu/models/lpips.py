@@ -77,8 +77,9 @@ class LPIPS(nn.Module):
         fy = net(ys)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt(jnp.sum(a ** 2, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b ** 2, axis=-1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: f / (||f|| + eps) — eps OUTSIDE the sqrt
+            a = a / (jnp.sqrt(jnp.sum(a ** 2, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b ** 2, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.uniform(0.1),
                            (ALEX_CHANNELS[i],))

@@ -53,7 +53,7 @@ class ViTBlock(nn.Module):
         x = x + nn.Dense(c, dtype=self.dtype, name="proj")(o)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # timm/DINO ViT uses exact gelu
         x = x + nn.Dense(c, dtype=self.dtype, name="fc2")(h)
         return x
 

@@ -280,43 +280,11 @@ def test_dpm_multistep_forward_matches_torch(order):
 
 
 # ---------------------------------------------------------------------------
-# SSIM / MS-SSIM vs independent torch-fp64 replicas of the published
-# algorithm the reference bundles (/root/reference/metrics/msssim.py,
-# pytorch-msssim semantics: separable 11-tap gaussian sigma 1.5, valid
-# padding, K=(0.01, 0.03), 5-level weights, 2x avg-pool with odd-side pad)
+# SSIM / MS-SSIM vs the LITERAL pytorch-msssim oracle (tests/oracle_msssim.py,
+# a faithful port of the implementation the reference bundles at
+# /root/reference/metrics/msssim.py) — an independent replica could share a
+# misreading (it did, round 2: right-side-only pool padding); the oracle can't.
 # ---------------------------------------------------------------------------
-
-def _torch_gauss_win(size=11, sigma=1.5):
-    import torch
-
-    coords = torch.arange(size, dtype=torch.float64) - size // 2
-    g = torch.exp(-(coords ** 2) / (2 * sigma ** 2))
-    return g / g.sum()
-
-
-def _torch_blur(x, win):
-    import torch.nn.functional as F
-
-    c = x.shape[1]
-    n = win.numel()
-    if x.shape[2] >= n:
-        x = F.conv2d(x, win.view(1, 1, -1, 1).expand(c, 1, -1, 1), groups=c)
-    if x.shape[3] >= n:
-        x = F.conv2d(x, win.view(1, 1, 1, -1).expand(c, 1, 1, -1), groups=c)
-    return x
-
-
-def _torch_ssim_parts(x, y, win, k=(0.01, 0.03), data_range=1.0):
-    c1 = (k[0] * data_range) ** 2
-    c2 = (k[1] * data_range) ** 2
-    mu_x, mu_y = _torch_blur(x, win), _torch_blur(y, win)
-    sxx = _torch_blur(x * x, win) - mu_x * mu_x
-    syy = _torch_blur(y * y, win) - mu_y * mu_y
-    sxy = _torch_blur(x * y, win) - mu_x * mu_y
-    cs = (2 * sxy + c2) / (sxx + syy + c2)
-    ssim_map = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
-    return ssim_map.mean(dim=(2, 3)), cs.mean(dim=(2, 3))
-
 
 def _rand_pair(shape, seed=0):
     rs = np.random.RandomState(seed)
@@ -326,44 +294,32 @@ def _rand_pair(shape, seed=0):
 
 
 @pytest.mark.parametrize("shape", [(2, 64, 64, 3), (1, 97, 83, 3)])
-def test_ssim_matches_torch(shape):
+def test_ssim_matches_torch_oracle(shape):
     import torch
 
+    from tests import oracle_msssim
     from eta_inversion_tpu.metrics.ssim import ssim
 
     a, b = _rand_pair(shape, seed=1)
     got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
     ta = torch.from_numpy(a).double().permute(0, 3, 1, 2)
     tb = torch.from_numpy(b).double().permute(0, 3, 1, 2)
-    s, _ = _torch_ssim_parts(ta, tb, _torch_gauss_win())
-    assert got == pytest.approx(float(s.mean()), abs=2e-5)
+    want = float(oracle_msssim.ssim(ta, tb, data_range=1.0))
+    assert got == pytest.approx(want, abs=2e-5)
 
 
 @pytest.mark.parametrize("shape", [(1, 180, 180, 3), (2, 181, 163, 3)])
-def test_msssim_matches_torch(shape):
+def test_msssim_matches_torch_oracle(shape):
     import torch
-    import torch.nn.functional as F
 
-    from eta_inversion_tpu.metrics.ssim import MSSSIM_WEIGHTS, ms_ssim
+    from tests import oracle_msssim
+    from eta_inversion_tpu.metrics.ssim import ms_ssim
 
     a, b = _rand_pair(shape, seed=2)
     got = float(ms_ssim(jnp.asarray(a), jnp.asarray(b)))
-
     x = torch.from_numpy(a).double().permute(0, 3, 1, 2)
     y = torch.from_numpy(b).double().permute(0, 3, 1, 2)
-    win = _torch_gauss_win()
-    mcs = []
-    s = None
-    for i in range(len(MSSSIM_WEIGHTS)):
-        s, cs = _torch_ssim_parts(x, y, win)
-        if i < len(MSSSIM_WEIGHTS) - 1:
-            mcs.append(torch.relu(cs))
-            pad = (0, x.shape[3] % 2, 0, x.shape[2] % 2)
-            x = F.avg_pool2d(F.pad(x, pad), kernel_size=2)
-            y = F.avg_pool2d(F.pad(y, pad), kernel_size=2)
-    stack = torch.stack(mcs + [torch.relu(s)], dim=0)
-    w = torch.tensor(MSSSIM_WEIGHTS, dtype=torch.float64).view(-1, 1, 1)
-    want = float(torch.prod(stack ** w, dim=0).mean())
+    want = float(oracle_msssim.ms_ssim(x, y, data_range=1.0))
     assert got == pytest.approx(want, abs=5e-5)
 
 

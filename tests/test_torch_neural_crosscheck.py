@@ -1,0 +1,339 @@
+"""Torch-replica crosschecks for the NEURAL stack (round-3 verdict item 3).
+
+Same discipline as tests/test_torch_crosscheck.py (schedulers): given
+identical random weights, each Flax building block must match an independent
+torch implementation of the semantics the reference relies on (diffusers
+ResnetBlock2D / Transformer2DModel, the `lpips` package, the Splice DINO-ViT
+structure loss, the CLIP similarity formulas).  This transitively pins the
+whole UNet: tests/test_sd_geometry.py pins the layer topology, these pin the
+per-block math.
+
+Reference anchors: /root/reference/metrics/metrics.py:41-63 (LPIPS),
+dino_vit_structure.py:205-259, clip_similarity.py:241-275; diffusers blocks
+as loaded by /root/reference/modules/models/__init__.py:104-138.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def _conv_w(flax_kernel):
+    """Flax conv kernel (H, W, I, O) -> torch conv weight (O, I, H, W)."""
+    return _t(np.transpose(np.asarray(flax_kernel), (3, 2, 0, 1)))
+
+
+def _lin_w(flax_kernel):
+    """Flax Dense kernel (I, O) -> torch Linear weight (O, I)."""
+    return _t(np.asarray(flax_kernel).T)
+
+
+def _nhwc_to_nchw(x):
+    return _t(x).permute(0, 3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# ResnetBlock vs diffusers ResnetBlock2D semantics
+# ---------------------------------------------------------------------------
+
+def _torch_resnet_block(p, x, temb, in_ch, out_ch):
+    """Diffusers ResnetBlock2D forward: GN(32-group, eps 1e-5) -> SiLU ->
+    conv3x3 -> +time_emb_proj(SiLU(temb)) -> GN -> SiLU -> conv3x3, 1x1
+    shortcut when channels change."""
+    h = F.group_norm(x, num_groups=4, weight=_t(p["norm1"]["scale"]),
+                     bias=_t(p["norm1"]["bias"]), eps=1e-5)
+    h = F.silu(h)
+    h = F.conv2d(h, _conv_w(p["conv1"]["kernel"]), _t(p["conv1"]["bias"]),
+                 padding=1)
+    tp = F.linear(F.silu(temb), _lin_w(p["time_emb_proj"]["kernel"]),
+                  _t(p["time_emb_proj"]["bias"]))
+    h = h + tp[:, :, None, None]
+    h = F.group_norm(h, num_groups=4, weight=_t(p["norm2"]["scale"]),
+                     bias=_t(p["norm2"]["bias"]), eps=1e-5)
+    h = F.silu(h)
+    h = F.conv2d(h, _conv_w(p["conv2"]["kernel"]), _t(p["conv2"]["bias"]),
+                 padding=1)
+    if in_ch != out_ch:
+        x = F.conv2d(x, _conv_w(p["conv_shortcut"]["kernel"]),
+                     _t(p["conv_shortcut"]["bias"]))
+    return x + h
+
+
+@pytest.mark.parametrize("in_ch,out_ch,split_in", [(16, 16, 0), (16, 24, 0),
+                                                   (24, 16, 16)])
+def test_resnet_block_matches_torch(in_ch, out_ch, split_in):
+    from eta_inversion_tpu.models.layers import ResnetBlock
+
+    block = ResnetBlock(out_channels=out_ch, groups=4, split_in=split_in)
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 8, 8, in_ch).astype(np.float32)
+    temb = rs.randn(2, 32).astype(np.float32)
+    params = block.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                        jnp.asarray(temb))["params"]
+    got = np.asarray(block.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(temb)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    # the split-conv variant must carry an nn.Conv-identical parameter tree
+    want = _torch_resnet_block(p, _nhwc_to_nchw(x), _t(temb), in_ch, out_ch)
+    np.testing.assert_allclose(got, want.permute(0, 2, 3, 1).numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Transformer2D (GN -> proj_in -> [LN/self-attn/LN/cross-attn/LN/GEGLU] ->
+# proj_out + residual) vs diffusers Transformer2DModel semantics
+# ---------------------------------------------------------------------------
+
+def _torch_attention(p, x, ctx, heads):
+    """Diffusers Attention: no-bias q/k/v projections, bias out projection,
+    fp32 softmax over scaled scores."""
+    q = F.linear(x, _lin_w(p["to_q"]["kernel"]))
+    k = F.linear(ctx, _lin_w(p["to_k"]["kernel"]))
+    v = F.linear(ctx, _lin_w(p["to_v"]["kernel"]))
+    b, s, inner = q.shape
+    sk = k.shape[1]
+    hd = inner // heads
+    q = q.view(b, s, heads, hd).permute(0, 2, 1, 3)
+    k = k.view(b, sk, heads, hd).permute(0, 2, 1, 3)
+    v = v.view(b, sk, heads, hd).permute(0, 2, 1, 3)
+    probs = torch.softmax(q @ k.transpose(-1, -2) * hd ** -0.5, dim=-1)
+    o = (probs @ v).permute(0, 2, 1, 3).reshape(b, s, inner)
+    return F.linear(o, _lin_w(p["to_out"]["kernel"]), _t(p["to_out"]["bias"]))
+
+
+def _torch_geglu_ff(p, x):
+    """Diffusers GEGLU: proj to 8*dim, split, h * gelu(gate) with EXACT
+    (erf) gelu — not the tanh approximation."""
+    h = F.linear(x, _lin_w(p["geglu_proj"]["kernel"]), _t(p["geglu_proj"]["bias"]))
+    h, gate = h.chunk(2, dim=-1)
+    h = h * F.gelu(gate)
+    return F.linear(h, _lin_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+
+
+def _torch_ln(p, x):
+    return F.layer_norm(x, (x.shape[-1],), _t(p["scale"]), _t(p["bias"]),
+                        eps=1e-5)
+
+
+def test_transformer2d_matches_torch():
+    from eta_inversion_tpu.models.attention import Transformer2D
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta
+
+    heads, hd = 2, 16
+    inner = heads * hd
+    sm = AttnLayerMeta(idx=0, is_cross=False, place="down", res=8, self_idx=0,
+                       cross_idx=-1, heads=heads)
+    cm = AttnLayerMeta(idx=1, is_cross=True, place="down", res=8, self_idx=-1,
+                       cross_idx=0, heads=heads)
+    model = Transformer2D(heads=heads, head_dim=hd, self_meta=sm, cross_meta=cm,
+                          groups=8)
+    rs = np.random.RandomState(2)
+    x = rs.randn(2, 8, 8, inner).astype(np.float32)
+    ctx = rs.randn(2, 7, 24).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(3), jnp.asarray(x),
+                        jnp.asarray(ctx))["params"]
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(ctx)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    tx = _nhwc_to_nchw(x)
+    tctx = _t(ctx)
+    residual = tx
+    h = F.group_norm(tx, num_groups=8, weight=_t(p["norm"]["scale"]),
+                     bias=_t(p["norm"]["bias"]), eps=1e-6)
+    h = F.conv2d(h, _conv_w(p["proj_in"]["kernel"]), _t(p["proj_in"]["bias"]))
+    b = h.shape[0]
+    h = h.permute(0, 2, 3, 1).reshape(b, 64, inner)
+    bp = p["blocks_0"]
+    h = h + _torch_attention(bp["attn1"], _torch_ln(bp["norm1"], h),
+                             _torch_ln(bp["norm1"], h), heads)
+    h = h + _torch_attention(bp["attn2"], _torch_ln(bp["norm2"], h), tctx, heads)
+    h = h + _torch_geglu_ff(bp["ff"], _torch_ln(bp["norm3"], h))
+    h = h.reshape(b, 8, 8, inner).permute(0, 3, 1, 2)
+    h = F.conv2d(h, _conv_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+    want = (h + residual).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS: scaling layer -> alexnet relu features -> unit-normalize ->
+# weighted squared diff -> spatial mean, summed over stages
+# (the `lpips` package semantics the reference uses, metrics.py:41-63)
+# ---------------------------------------------------------------------------
+
+def _torch_alexnet_feats(p, x):
+    feats = []
+    x = F.relu(F.conv2d(x, _conv_w(p["conv0"]["kernel"]), _t(p["conv0"]["bias"]),
+                        stride=4, padding=2))
+    feats.append(x)
+    x = F.max_pool2d(x, 3, 2)
+    x = F.relu(F.conv2d(x, _conv_w(p["conv1"]["kernel"]), _t(p["conv1"]["bias"]),
+                        padding=2))
+    feats.append(x)
+    x = F.max_pool2d(x, 3, 2)
+    x = F.relu(F.conv2d(x, _conv_w(p["conv2"]["kernel"]), _t(p["conv2"]["bias"]),
+                        padding=1))
+    feats.append(x)
+    x = F.relu(F.conv2d(x, _conv_w(p["conv3"]["kernel"]), _t(p["conv3"]["bias"]),
+                        padding=1))
+    feats.append(x)
+    x = F.relu(F.conv2d(x, _conv_w(p["conv4"]["kernel"]), _t(p["conv4"]["bias"]),
+                        padding=1))
+    feats.append(x)
+    return feats
+
+
+def test_lpips_matches_torch():
+    from eta_inversion_tpu.models.lpips import _SCALE, _SHIFT, load_lpips_params
+
+    model, params = load_lpips_params()
+    rs = np.random.RandomState(4)
+    a = (rs.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    b = np.clip(a + rs.randn(2, 64, 64, 3).astype(np.float32) * 0.2, -1, 1)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(a),
+                                 jnp.asarray(b)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    shift = _t(_SHIFT).view(1, 3, 1, 1)
+    scale = _t(_SCALE).view(1, 3, 1, 1)
+    ta = (_nhwc_to_nchw(a) - shift) / scale
+    tb = (_nhwc_to_nchw(b) - shift) / scale
+    fa = _torch_alexnet_feats(p["alex"], ta)
+    fb = _torch_alexnet_feats(p["alex"], tb)
+    total = torch.zeros(2)
+    for i, (u, v) in enumerate(zip(fa, fb)):
+        # lpips.normalize_tensor: f / (||f||_2 + 1e-10), eps OUTSIDE the sqrt
+        u = u / (u.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        v = v / (v.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+        d = (u - v).pow(2)
+        w = _t(p[f"lin{i}"]).abs().view(1, -1, 1, 1)
+        total = total + (d * w).sum(dim=1).mean(dim=(1, 2))
+    np.testing.assert_allclose(got, total.numpy(), rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DINO-ViT structure: keys at a late block + cosine self-similarity map
+# (Splice loss, reference dino_vit_structure.py:205-259)
+# ---------------------------------------------------------------------------
+
+def _torch_vit_block(p, x, heads):
+    """timm/DINO ViT block: x + proj(attn(LN(x))); x + mlp(LN(x)); qkv with
+    bias, exact gelu.  Returns (x, keys (B, T, C))."""
+    b, t, c = x.shape
+    hd = c // heads
+    h = F.layer_norm(x, (c,), _t(p["norm1"]["scale"]), _t(p["norm1"]["bias"]),
+                     eps=1e-6)
+    qkv = F.linear(h, _lin_w(p["qkv"]["kernel"]), _t(p["qkv"]["bias"]))
+    q, k, v = qkv.chunk(3, dim=-1)
+    keys = k
+    q = q.view(b, t, heads, hd).permute(0, 2, 1, 3)
+    k = k.view(b, t, heads, hd).permute(0, 2, 1, 3)
+    v = v.view(b, t, heads, hd).permute(0, 2, 1, 3)
+    probs = torch.softmax(q @ k.transpose(-1, -2) * hd ** -0.5, dim=-1)
+    o = (probs @ v).permute(0, 2, 1, 3).reshape(b, t, c)
+    x = x + F.linear(o, _lin_w(p["proj"]["kernel"]), _t(p["proj"]["bias"]))
+    h = F.layer_norm(x, (c,), _t(p["norm2"]["scale"]), _t(p["norm2"]["bias"]),
+                     eps=1e-6)
+    h = F.linear(h, _lin_w(p["fc1"]["kernel"]), _t(p["fc1"]["bias"]))
+    h = F.gelu(h)  # exact
+    x = x + F.linear(h, _lin_w(p["fc2"]["kernel"]), _t(p["fc2"]["bias"]))
+    return x, keys
+
+
+def test_dino_keys_selfsim_matches_torch():
+    from eta_inversion_tpu.metrics.dino_vit_structure import attn_cosine_sim
+    from eta_inversion_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                    num_heads=4)
+    model = ViT(cfg)
+    rs = np.random.RandomState(5)
+    pixels = rs.randn(1, 32, 32, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(6), jnp.asarray(pixels))["params"]
+    keys = model.keys_at_layer(params, jnp.asarray(pixels), 1)  # (1, T, C)
+    got_map = np.asarray(attn_cosine_sim(keys[0]))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    # patch embed: conv stride=patch, then [cls] + pos embed
+    x = F.conv2d(_nhwc_to_nchw(pixels), _conv_w(p["patch_embed"]["kernel"]),
+                 _t(p["patch_embed"]["bias"]), stride=8)
+    x = x.flatten(2).transpose(1, 2)  # (1, 16, 32)
+    cls = _t(p["cls_token"]).view(1, 1, -1)
+    x = torch.cat([cls, x], dim=1)
+    x = x + _t(p["pos_embed"]).unsqueeze(0)
+    x, _ = _torch_vit_block(p["blocks_0"], x, 4)
+    _, tkeys = _torch_vit_block(p["blocks_1"], x, 4)
+    np.testing.assert_allclose(np.asarray(keys), tkeys.numpy(), rtol=2e-5,
+                               atol=2e-5)
+
+    # reference attn_cosine_sim (dino_vit_structure.py:15-20), literally
+    kk = tkeys  # (1, T, C) == concatenated_keys[None] in the reference
+    norm1 = kk.norm(dim=2, keepdim=True)
+    factor = torch.clamp(norm1 @ norm1.permute(0, 2, 1), min=1e-8)
+    want_map = ((kk @ kk.permute(0, 2, 1)) / factor)[0].numpy()
+    np.testing.assert_allclose(got_map, want_map, rtol=2e-5, atol=2e-5)
+
+    # and the loss is the plain MSE of the two maps (reference :249-259)
+    other = got_map * 0.9
+    got_loss = float(jnp.mean((jnp.asarray(other) - jnp.asarray(got_map)) ** 2))
+    want_loss = float(F.mse_loss(torch.from_numpy(other),
+                                 torch.from_numpy(got_map)))
+    assert got_loss == pytest.approx(want_loss, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# CLIP similarity formulas (reference clip_similarity.py:241-275): all four
+# modes reduce to dot products of (normalized / differenced) features — pin
+# the routing and arithmetic with stubbed feature extractors.
+# ---------------------------------------------------------------------------
+
+def test_clip_similarity_formulas_match_torch():
+    from eta_inversion_tpu.metrics.clip_similarity import CLIPSimilarity
+
+    rs = np.random.RandomState(7)
+    feats = {}
+    for name in ("img_src", "img_tgt", "txt_src", "txt_tgt"):
+        f = rs.randn(16).astype(np.float32)
+        feats[name] = f / np.linalg.norm(f)
+
+    bk = {"image_size": 32, "hidden": 32, "layers": 1, "heads": 2, "patch": 16,
+          "text_hidden": 32, "text_layers": 1, "text_heads": 2,
+          "vocab_size": 512}
+    src_img, tgt_img = object(), object()  # sentinels; extractors are stubbed
+
+    def make(metric):
+        m = CLIPSimilarity(metric=metric, backbone_kwargs=bk)
+        m.img_feat = lambda im: jnp.asarray(
+            feats["img_src"] if im is src_img else feats["img_tgt"])
+        m.txt_feat = lambda pr: jnp.asarray(
+            feats["txt_src"] if pr == "src" else feats["txt_tgt"])
+        return m
+
+    t = {k: torch.from_numpy(v) for k, v in feats.items()}
+    want = {
+        "text_img": torch.dot(t["img_tgt"], t["txt_tgt"]),
+        "img_img": torch.dot(t["img_src"], t["img_tgt"]),
+        "textdir_imgdir": torch.dot(t["img_tgt"] - t["img_src"],
+                                    t["txt_tgt"] - t["txt_src"]),
+    }
+    for metric, expected in want.items():
+        got = make(metric).forward(source_image=src_img, target_image=tgt_img,
+                                   source_prompt="src", target_prompt="tgt")
+        assert float(got) == pytest.approx(float(expected), abs=1e-6), metric
+
+    # text_text: caption(target_image) vs target prompt
+    m = make("text_text")
+    m.caption_fn = lambda img: "src"  # pretend the caption equals src prompt
+    got = m.forward(target_image=tgt_img, target_prompt="tgt")
+    assert float(got) == pytest.approx(
+        float(torch.dot(t["txt_src"], t["txt_tgt"])), abs=1e-6)
