@@ -266,10 +266,34 @@ def clip_text_key_map(cfg: CLIPTextConfig) -> Dict[str, Tuple[Tuple[str, ...], T
     return m
 
 
+# pre-0.18 diffusers serialized the VAE mid attention as AttentionBlock
+# (query/key/value/proj_attn, with 4D (C,C,1,1) conv-style proj weights in
+# some exports); the original 2022 sd15 VAE safetensors on HF uses these.
+_LEGACY_VAE_ATTN = {"query": "to_q", "key": "to_k", "value": "to_v",
+                    "proj_attn": "to_out.0", "group_norm": "group_norm"}
+
+
+def normalize_legacy_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename legacy diffusers VAE attention keys to the modern layout and
+    squeeze conv-style (C, C, 1, 1) projection weights to (C, C)."""
+    out = {}
+    for k, v in state.items():
+        parts = k.split(".")
+        if (len(parts) >= 4 and parts[-4] == "attentions"
+                and parts[-2] in _LEGACY_VAE_ATTN):
+            parts[-2] = _LEGACY_VAE_ATTN[parts[-2]]
+            k = ".".join(parts)
+            if k.endswith(".weight") and v.ndim == 4:
+                v = v.reshape(v.shape[0], v.shape[1])
+        out[k] = v
+    return out
+
+
 def map_state_dict(state: Dict[str, np.ndarray],
                    key_map: Dict[str, Tuple[Tuple[str, ...], Transform]],
                    dtype=np.float32, strict: bool = True) -> Dict[str, Any]:
     """Apply a key map to a torch state dict, producing a nested flax tree."""
+    state = normalize_legacy_keys(state)
     tree: Dict[str, Any] = {}
     missing = []
     for tk, (path, (fwd, _inv)) in key_map.items():
