@@ -11,7 +11,8 @@ attention for the 64x64 self-attention, the full functional ptp controller and
 eta-inversion candidate-noise selection.
 
 Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
-BENCH_CONFIG=etainv_ptp|diffinv_simple.
+BENCH_CONFIG=etainv_ptp|diffinv_simple|nti_simple|ddpminv_ptp|
+regdiffinv_simple, BENCH_BATCH (default 8; 1 = pure latency mode).
 """
 
 import json
@@ -61,7 +62,26 @@ def main():
         cfg = dict(is_replace_controller=True, cross_replace_steps=0.8,
                    self_replace_steps=0.5)
         inv_cfg = {"edit_word_idx": (1, 1)}
+    elif config == "nti_simple":
+        # the costliest inverter (reference null_text_inversion.py:42-94):
+        # 50 x <=10 Adam steps, each a UNet fwd+bwd, inside lax.while_loop
+        inverter = load_inverter(model, "nti", num_inference_steps=steps)
+        editor = load_editor(inverter, "simple")
+        cfg = None
+        inv_cfg = None
+    elif config == "ddpminv_ptp":
+        inverter = load_inverter(model, "ddpminv", num_inference_steps=steps)
+        editor = load_editor(inverter, "ptp")
+        cfg = dict(is_replace_controller=True, cross_replace_steps=0.8,
+                   self_replace_steps=0.5)
+        inv_cfg = None
+    elif config == "regdiffinv_simple":
+        inverter = load_inverter(model, "regdiffinv", num_inference_steps=steps)
+        editor = load_editor(inverter, "simple")
+        cfg = None
+        inv_cfg = None
     else:
+        assert config == "diffinv_simple", config
         inverter = load_inverter(model, "diffinv", num_inference_steps=steps)
         editor = load_editor(inverter, "simple")
         cfg = None

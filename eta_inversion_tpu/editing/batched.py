@@ -73,8 +73,12 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
         uncond = inv.embed_texts([""])
         cond = inv.embed_texts(prompts)
         ctx = jnp.concatenate([jnp.broadcast_to(uncond, cond.shape), cond], axis=0)
-        inv_res = inv.invert(jnp.asarray(images), context=ctx)
+        widx = [((c or {}).get("edit_word_idx") or (None, None)) for c in inv_cfgs]
+        inv_res = inv.invert(jnp.asarray(images), context=ctx,
+                             inv_cfg={"edit_word_idx": widx})
         edit_res = inv.sample(inv_res, context=ctx)
+        if edit_res is None:
+            return None
         return {"image": edit_res["image"], "image_inv": edit_res["image"],
                 "latent": edit_res["latent"], "latent_inv": edit_res["latent"]}
 

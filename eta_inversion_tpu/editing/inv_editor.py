@@ -32,6 +32,11 @@ class InversionEditor(Editor):
 
         src_context = self.inverter.create_context(
             source_prompt if self.no_null_source_prompt else "")
-        inv_res = self.inverter.invert(image, context=src_context)
+        # thread inv_cfg through: eta-inversion needs edit_word_idx for its
+        # forward masks and declares itself unsupported (None) without it
+        inv_res = self.inverter.invert(image, context=src_context,
+                                       inv_cfg=inv_cfg)
         edit_res = self.inverter.sample(inv_res, context=[src_context])
+        if edit_res is None:
+            return None
         return {"image": edit_res["image"], "latent": edit_res["latent"]}

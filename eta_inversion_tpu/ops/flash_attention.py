@@ -29,11 +29,13 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
 
-def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
+def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *,
+                          scale: float):
     """Whole-row softmax in one pass (block_k == seq_k): no online-max
     corrections, exp2 with log2(e) folded into the score scale, bf16 matmul
     inputs.  Measured -4% vs the blockwise kernel at SD's (256, 4096, 40)
-    on v5e (scripts/attn_microbench — mb7 sweep)."""
+    on v5e (scripts/attn_microbench — mb7 sweep).  With l_ref, also writes
+    the natural-log row logsumexp (VJP residual)."""
     q = q_ref[0]                      # (bq, D) bf16
     kt = kt_ref[0]                    # (D, S)
     v = v_ref[0]                      # (S, D)
@@ -43,14 +45,19 @@ def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float):
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if l_ref is not None:
+        # scores were in the log2 domain: L_nat = (m + log2 l) / log2(e)
+        l_ref[0] = ((m + jnp.log2(l)) * (1.0 / LOG2E)).reshape(1, -1)
 
 
-def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *, block_k: int,
+                  scale: float):
     """One (batch*head, q-block) program: online softmax over k blocks.
 
     K arrives pre-transposed as (D, S) so Q@K^T is a plain NN matmul — the NT
     contraction forced in-kernel transposes and measured ~1.5x slower at large
-    batch*heads (13.6ms -> 9.1ms at BH=128, S=4096, D=128 on v5e)."""
+    batch*heads (13.6ms -> 9.1ms at BH=128, S=4096, D=128 on v5e).  With
+    l_ref, also writes the natural-log row logsumexp (VJP residual)."""
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
     bq, d = q.shape
     seq_k = v_ref.shape[1]
@@ -72,15 +79,16 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, *, block_k: int, scale: float):
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if l_ref is not None:
+        l_ref[0] = (m + jnp.log(l)).reshape(1, -1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "block_q", "block_k", "interpret"))
-def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
-                         block_k: int = 512, interpret: bool = False):
-    """Flash attention over (BH, S, D) inputs. S % block == 0; D native."""
+def _flash_fwd_impl(q, k, v, scale: float, block_q: int, block_k: int,
+                    interpret: bool, need_lse: bool):
+    """pallas_call for the forward kernels; optionally also returns the
+    per-row natural-log logsumexp (BH, S) fp32 for the backward pass."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     kt = jnp.swapaxes(k, 1, 2)  # (BH, D, S); cheap XLA transpose, reused by
@@ -89,16 +97,23 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
     onepass = block_k == sk
     kern = functools.partial(_flash_onepass_kernel, scale=scale) if onepass \
         else functools.partial(_flash_kernel, block_k=block_k, scale=scale)
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((bh, sq, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))]
+    if need_lse:
+        # (BH, 1, S): mosaic requires the last two block dims be (mult of 8,
+        # mult of 128) or equal to the array dims — a unit sublane dim is
+        out_shape.append(jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i)))
+    outs = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, d, sk), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             # both grid dims are independent -> spread across the 2 megacores
             dimension_semantics=("parallel", "parallel"),
@@ -114,6 +129,158 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
         ),
         interpret=interpret,
     )(q, kt, v)
+    return (outs[0], outs[1]) if need_lse else (outs[0], None)
+
+
+def _flash_dq_kernel(q_ref, k_ref, kt_ref, vt_ref, do_ref, l_ref, d_ref,
+                     dq_ref, *, block_k: int, scale: float):
+    """dQ for one (bh, q-block) program: dQ = scale * sum_k [P∘(dP − D)] @ K,
+    with P recomputed from the saved logsumexp (classic flash backward)."""
+    q = q_ref[0].astype(jnp.float32) * scale      # (bq, d)
+    do = do_ref[0].astype(jnp.float32)            # (bq, d)
+    lse = l_ref[0].reshape(-1, 1)                 # (1, 1, bq) -> (bq, 1)
+    dvec = d_ref[0].reshape(-1, 1)
+    bq, d = q.shape
+    seq_k = k_ref.shape[1]
+    num_kb = seq_k // block_k
+
+    def body(kb, acc):
+        kt = kt_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        vt = vt_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        kk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, kt, preferred_element_type=jnp.float32)   # scaled scores
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, vt, preferred_element_type=jnp.float32)  # (bq, bk)
+        ds = p * (dp - dvec)
+        return acc + jnp.dot(ds, kk, preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(k_ref, v_ref, qt_ref, q_ref, dot_ref, do_ref, l_ref,
+                      d_ref, dk_ref, dv_ref, *, block_q: int, scale: float):
+    """dK/dV for one (bh, k-block) program: transposed-score recompute over q
+    blocks — dV = Pᵀ @ dO, dK = scale * [Pᵀ∘(dPᵀ − Dᵀ)] @ Q."""
+    k = k_ref[0].astype(jnp.float32) * scale      # (bk, d)
+    v = v_ref[0].astype(jnp.float32)              # (bk, d)
+    bk, d = k.shape
+    seq_q = q_ref.shape[1]
+    num_qb = seq_q // block_q
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        qt = qt_ref[0, :, pl.ds(qb * block_q, block_q)].astype(jnp.float32)
+        qq = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        dot = dot_ref[0, :, pl.ds(qb * block_q, block_q)].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = l_ref[0, 0, pl.ds(qb * block_q, block_q)].reshape(1, -1)
+        dvec = d_ref[0, 0, pl.ds(qb * block_q, block_q)].reshape(1, -1)
+        st = jnp.dot(k, qt, preferred_element_type=jnp.float32)  # (bk, bq)
+        pt = jnp.exp(st - lse)
+        dv_acc = dv_acc + jnp.dot(pt, do, preferred_element_type=jnp.float32)
+        dpt = jnp.dot(v, dot, preferred_element_type=jnp.float32)  # (bk, bq)
+        dst = pt * (dpt - dvec)
+        dk_acc = dk_acc + jnp.dot(dst, qq, preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, scale: float, block_q: int,
+                    block_k: int, interpret: bool):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    bq = min(block_q, 512)
+    bk = min(block_k, sk)
+    dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                   axis=-1)[:, None, :]  # (BH, 1, S)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    qt = jnp.swapaxes(q, 1, 2)
+    dot = jnp.swapaxes(do, 1, 2)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, block_k=bk, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        grid=(bh, sq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),   # q
+            pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0)),   # k
+            pl.BlockSpec((1, d, sk), lambda b, i: (b, 0, 0)),   # kt
+            pl.BlockSpec((1, d, sk), lambda b, i: (b, 0, 0)),   # vt
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),   # lse
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i)),   # D
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        compiler_params=params,
+        interpret=interpret,
+    )(q, k, kt, vt, do, lse, dvec)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, block_q=bq, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((bh, sk, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, sk, d), q.dtype)],
+        grid=(bh, sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0)),   # v
+            pl.BlockSpec((1, d, sq), lambda b, i: (b, 0, 0)),   # qt
+            pl.BlockSpec((1, sq, d), lambda b, i: (b, 0, 0)),   # q
+            pl.BlockSpec((1, d, sq), lambda b, i: (b, 0, 0)),   # doT
+            pl.BlockSpec((1, sq, d), lambda b, i: (b, 0, 0)),   # do
+            pl.BlockSpec((1, 1, sq), lambda b, i: (b, 0, 0)),   # lse
+            pl.BlockSpec((1, 1, sq), lambda b, i: (b, 0, 0)),   # D
+        ],
+        out_specs=[pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0))],
+        compiler_params=params,
+        interpret=interpret,
+    )(k, v, qt, q, dot, do, lse, dvec)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, interpret):
+    o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret,
+                           need_lse=False)
+    return o
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret,
+                             need_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, do, scale, block_q, block_k,
+                           interpret)
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
+                         block_k: int = 512, interpret: bool = False):
+    """Flash attention over (BH, S, D) inputs. S % block == 0; D native.
+
+    Differentiable: a custom VJP recomputes probabilities from the saved
+    per-row logsumexp in two backward Pallas kernels (dQ over q-blocks,
+    dK/dV over k-blocks) — the path NTI's inner gradient loop takes on-chip
+    (reference null_text_inversion.py:42-94 runs ~500 UNet backward passes
+    per image; materializing (BH, S, S) probabilities for those would be
+    2 GB+ per layer)."""
+    return _flash(q, k, v, scale, block_q, block_k, interpret)
 
 
 def _crossk_kernel(q_ref, kt_ref, v_ref, o_ref, *, sk: int, scale: float):

@@ -187,34 +187,22 @@ def test_editor_with_other_inverters(tiny_model, test_image):
 
 # cross-method grid: combinations exercising unique composition paths
 # (reference test_edit.py runs the full 8x5 grid; these are the seams)
-GRID = [
-    ("edict", "ptp"),       # per-pair-slot controller state in the edict scan
-    ("edict", "simple"),
-    ("nti", "ptp"),         # per-step optimized uncond + attention edits
-    ("etainv", "ptp"),      # the paper's headline combination
-    ("cyclediff", "simple"),
-    ("regdiffinv", "simple"),
-    ("ddpminv", "masactrl"),
-    ("npi", "pnp"),
-    ("dirinv", "invedit"),
-    ("edict", "pix2pix_zero"),  # per-slot attention guidance in the pair scan
-    # second tier: the rest of the reference's inverter x editor grid
-    ("dirinv", "ptp"),      # the classic dirinv evaluation combination
-    ("proxnpi", "ptp"),
-    ("proxnpi", "simple"),
-    ("nti", "simple"),
-    ("nti", "masactrl"),    # optimized uncond inside the masactrl sample
-    ("nti", "invedit"),
-    ("npi", "simple"),
-    ("cyclediff", "ptp"),
-    ("cyclediff", "pnp"),
-    ("regdiffinv", "ptp"),
-    ("etainv", "simple"),   # fwd eta masks without a ptp controller
-    ("ddpminv", "pnp"),
-    ("ddpminv", "invedit"),
-    ("edict", "masactrl"),  # k/v substitution inside the coupled-pair scan
-    ("edict", "invedit"),
-]
+# the FULL supported inverter x editor grid (the reference regression-tests
+# its 8x5 grid at /root/reference/test/test_edit.py:66-108; ours covers all
+# 10 inverters x 6 editors = 54 non-diffinv combos + the 6 diffinv combos via
+# test_editor_golden).  Combos the reference declares unsupported return None
+# (test_edit.py:240-242 semantics: pix2pix_zero cannot ride dirinv/etainv,
+# modules/editing/pix2pix_zero.py:300-301).
+ALL_INVERTERS = ["npi", "proxnpi", "dirinv", "nti", "edict", "ddpminv",
+                 "cyclediff", "etainv", "regdiffinv"]
+UNSUPPORTED = {("dirinv", "pix2pix_zero"), ("etainv", "pix2pix_zero")}
+GRID = [(inv, ed) for inv in ALL_INVERTERS for ed in EDITORS
+        if (inv, ed) not in UNSUPPORTED]
+
+
+@pytest.mark.parametrize("inverter,editor", sorted(UNSUPPORTED))
+def test_unsupported_combos_return_none(inverter, editor, tiny_model, test_image):
+    assert run_edit(editor, tiny_model, test_image, inverter) is None
 
 
 def test_etainv_bwd_mask_modes(tiny_model, test_image):

@@ -153,3 +153,44 @@ def test_attention_dispatch_vmem_gate(monkeypatch):
     v = jnp.asarray(rs.randn(*shape), jnp.bfloat16)
     o = fa.attention(q, k, v, min_flash_seq=1024)
     assert o.shape == shape  # served by the XLA path
+
+
+# ---------------------------------------------------------------------------
+# Flash attention VJP (the path NTI's inner gradient loop takes on-chip):
+# backward Pallas kernels vs jax.grad through the XLA reference.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bh,s,d,bq,bk", [
+    (2, 512, 40, 256, 512),    # onepass forward
+    (2, 1024, 32, 256, 512),   # blockwise forward
+])
+def test_flash_vjp_matches_xla_grads(bh, s, d, bq, bk):
+    import jax
+
+    q, k, v = _mk(bh, s, d, seed=21)
+    scale = d ** -0.5
+
+    def loss_flash(q, k, v):
+        o = flash_attention_bhsd(q, k, v, scale=scale, block_q=bq, block_k=bk,
+                                 interpret=True)
+        return jnp.sum(jnp.sin(o))  # non-uniform cotangent
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q[:, None], k[:, None], v[:, None], scale)[:, 0]
+        return jnp.sum(jnp.sin(o))
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4,
+                                   atol=2e-4, err_msg=f"d{name}")
+
+
+def test_flash_vjp_value_unchanged():
+    """The custom-VJP wrapper must not change the primal value."""
+    q, k, v = _mk(2, 512, 16, seed=22)
+    scale = 16 ** -0.5
+    o = flash_attention_bhsd(q, k, v, scale=scale, block_q=256, block_k=512,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(o), _ref(q, k, v, scale), rtol=2e-5,
+                               atol=2e-6)
