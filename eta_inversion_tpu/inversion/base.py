@@ -286,9 +286,15 @@ class DiffusionInversion:
             # per-step null-embedding patching (NPI/NTI; reference
             # negative_prompt_inversion.py:17-23, null_text_inversion.py:96-101):
             # every unconditional row is replaced by this step's embedding.
+            # Batched pair editing carries 2B uncond rows ([u_src(B), u_tgt(B)])
+            # for B per-sample embeddings — tile so each sample's optimized
+            # embedding lands on both its src and tgt rows.
             n = ctx.shape[0] // 2
+            ue = inp["uncond_emb"]
+            if ue.ndim == 3 and n % ue.shape[0] == 0 and ue.shape[0] not in (1, n):
+                ue = jnp.tile(ue, (n // ue.shape[0], 1, 1))
             ctx = jnp.concatenate(
-                [jnp.broadcast_to(inp["uncond_emb"], ctx[:n].shape), ctx[n:]], axis=0)
+                [jnp.broadcast_to(ue, ctx[:n].shape), ctx[n:]], axis=0)
         eps, store = self.predict_noise(params, latent, t, ctx,
                                         self.guidance_scale_bwd,
                                         hooks=ctrl.hooks(i, state, layout),

@@ -157,3 +157,21 @@ def test_batched_pix2pix_zero_edict_runs(tiny_model):
 def test_batched_pix2pix_zero_incompatible_returns_none(tiny_model):
     assert run_batched("pix2pix_zero", tiny_model, images(),
                        inverter="etainv") is None
+
+
+def test_batched_nti_simple_matches_single(tiny_model):
+    """Per-sample optimized null embeddings must land on each sample's own
+    src AND tgt uncond rows in the pair layout (regression: B>1 NTI batches
+    broadcast-crashed before the tile fix in predict_step_backward)."""
+    imgs = images()
+    inv = load_inverter(tiny_model, "nti", num_inference_steps=STEPS,
+                        num_inner_steps=2)
+    editor = load_editor(inv, "simple")
+    batched = edit_batch(editor, imgs, SRCS, TGTS)
+    for i in range(2):
+        inv1 = load_inverter(tiny_model, "nti", num_inference_steps=STEPS,
+                             num_inner_steps=2)
+        single = load_editor(inv1, "simple").edit(imgs[i][None], SRCS[i], TGTS[i])
+        np.testing.assert_allclose(
+            np.asarray(batched["image"][i]), np.asarray(single["image"][0]),
+            rtol=2e-4, atol=2e-4, err_msg=f"nti pair {i}")
