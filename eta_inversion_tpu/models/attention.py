@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.attn_ctrl import AttnHooks, AttnLayerMeta
 from ..ops.flash_attention import attention, attention_probs
+from .layers import gelu_exact
 
 
 class CrossAttention(nn.Module):
@@ -98,8 +99,9 @@ class FeedForward(nn.Module):
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="geglu_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         # exact (erf) gelu: diffusers GEGLU uses F.gelu's default, not the
-        # tanh approximation (pinned by tests/test_torch_neural_crosscheck.py)
-        h = h * nn.gelu(gate, approximate=False)
+        # tanh approximation (pinned by tests/test_torch_neural_crosscheck.py);
+        # gelu_exact keeps the bf16 epilogue fusable (ROADMAP round-3 notes)
+        h = h * gelu_exact(gate)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

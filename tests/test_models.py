@@ -131,3 +131,30 @@ def test_cfg_shared_prefix_matches_duplicated(tiny_model):
     # not bitwise: XLA tiles batch-2 and batch-4 reductions differently
     np.testing.assert_allclose(np.asarray(dup), np.asarray(shared),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_gelu_exact_f32_identity_and_bf16_accuracy():
+    """gelu_exact: f32 path IS jax.nn.gelu(approximate=False) bit-for-bit;
+    the bf16 path's polynomial erf stays within 2e-4 absolute of the true
+    erf-gelu (evaluated in f64 on the bf16-rounded inputs) — below the bf16
+    rounding noise of the GEGLU product it feeds (models/attention.py)."""
+    import math
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eta_inversion_tpu.models.layers import gelu_exact
+
+    x = np.linspace(-9.0, 9.0, 100001).astype(np.float32)
+    got32 = np.asarray(gelu_exact(jnp.asarray(x)))
+    want32 = np.asarray(nn.gelu(jnp.asarray(x), approximate=False))
+    assert np.array_equal(got32, want32)
+
+    xb = jnp.asarray(x, jnp.bfloat16)
+    seen = np.asarray(xb.astype(jnp.float32)).astype(np.float64)
+    exact = np.vectorize(
+        lambda v: 0.5 * v * (1.0 + math.erf(v / math.sqrt(2.0))))(seen)
+    got16 = np.asarray(gelu_exact(xb).astype(jnp.float32)).astype(np.float64)
+    # tolerance = polynomial error (2e-4 abs) + bf16 output rounding (2^-8 rel)
+    assert np.all(np.abs(got16 - exact) <= 2e-4 + np.abs(exact) * 2.0 ** -8)
