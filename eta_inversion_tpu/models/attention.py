@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.attn_ctrl import AttnHooks, AttnLayerMeta
 from ..ops.flash_attention import attention, attention_probs
-from .layers import gelu_exact
+from ..ops.geglu import geglu_mlp
 
 
 class CrossAttention(nn.Module):
@@ -88,21 +88,38 @@ class CrossAttention(nn.Module):
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(o)
 
 
+class _DenseParams(nn.Module):
+    """Parameters of an nn.Dense (same pytree path, init, and param_dtype)
+    without its apply — so FeedForward can hand the raw kernels to the fused
+    GEGLU Pallas op while models/weights.py keeps the diffusers key mapping."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (dim -> 4*dim -> dim)."""
+    """GEGLU feed-forward (dim -> 4*dim -> dim).
+
+    Exact (erf) gelu on the gate: diffusers GEGLU uses F.gelu's default, not
+    the tanh approximation (pinned by tests/test_torch_neural_crosscheck.py).
+    Routed through ops/geglu.geglu_mlp: the plain-XLA expression with the
+    fusion-friendly polynomial-erf gelu (a fused Pallas kernel exists but
+    measured neutral in-model on v5e — see ops/geglu.py)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * 8, dtype=self.dtype, name="geglu_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        # exact (erf) gelu: diffusers GEGLU uses F.gelu's default, not the
-        # tanh approximation (pinned by tests/test_torch_neural_crosscheck.py);
-        # gelu_exact keeps the bf16 epilogue fusable (ROADMAP round-3 notes)
-        h = h * gelu_exact(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        w1, b1 = _DenseParams(self.dim * 8, name="geglu_proj")(x.shape[-1])
+        w2, b2 = _DenseParams(self.dim, name="proj_out")(self.dim * 4)
+        return geglu_mlp(x, w1, b1, w2, b2, dtype=self.dtype)
 
 
 class BasicTransformerBlock(nn.Module):

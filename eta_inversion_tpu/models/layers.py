@@ -15,17 +15,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# Odd minimax polynomial for erf on [-3, 3]: erf(z) ~ z * P(z^2), fit to
-# |err| <= 3.4e-5 incl. the saturation error from clamping at 3 (where
-# erf(3) = 0.999978).  Gelu abs error <= 2e-4 over the reals — far below the
-# bf16 rounding noise of the GEGLU product/matmul it feeds (outputs differ
-# from round(exact) only in the tiny-|y| tail where bf16 ulp < 1e-4).
-_ERF_COEF = (1.1283629719137802, -0.37581876264851877, 0.11186273083615,
-             -0.025649756925251198, 0.004437909424632624,
-             -0.0005535658971878295, 4.614817819605463e-05,
-             -2.2677774146116304e-06, 4.9183736107624126e-08)
-
-
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) gelu, matching torch F.gelu / diffusers' default.
 
@@ -36,17 +25,14 @@ def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     epilogue — in the SD UNet's GEGLU that forced the full 2x-wide projection
     tensor to rematerialize through HBM and made ff/proj_out HBM-bound
     (measured +14 ms/step at batch 32 on v5e; see ROADMAP round-3 notes).
-    The polynomial epilogue fuses; abs error <= 2e-4, below bf16 noise.
+    The polynomial (ops/geglu.py ERF_COEF) fuses; abs err <= 2e-4, below
+    bf16 noise.
     """
     if x.dtype not in (jnp.bfloat16, jnp.float16):
         return nn.gelu(x, approximate=False)
-    xf = x.astype(jnp.float32)
-    z = jnp.clip(xf * (1.0 / math.sqrt(2.0)), -3.0, 3.0)
-    z2 = z * z
-    p = jnp.float32(_ERF_COEF[-1])
-    for c in _ERF_COEF[-2::-1]:
-        p = p * z2 + jnp.float32(c)
-    return (0.5 * xf * (1.0 + z * p)).astype(x.dtype)
+    from ..ops.geglu import gelu_poly_f32
+
+    return gelu_poly_f32(x.astype(jnp.float32)).astype(x.dtype)
 
 
 def timestep_embedding(t, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0,

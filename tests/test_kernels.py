@@ -194,3 +194,92 @@ def test_flash_vjp_value_unchanged():
                              interpret=True)
     np.testing.assert_allclose(np.asarray(o), _ref(q, k, v, scale), rtol=2e-5,
                                atol=2e-6)
+
+
+# ---------------------------------------------------------------- fused GEGLU
+
+
+def _mk_geglu(n, c, inner, seed=0, dtype=jnp.bfloat16):
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(n, c) * 0.5, dtype)
+    w1 = jnp.asarray(rs.randn(c, 2 * inner) * (c ** -0.5), dtype)
+    b1 = jnp.asarray(rs.randn(2 * inner) * 0.1, dtype)
+    w2 = jnp.asarray(rs.randn(inner, c) * (inner ** -0.5), dtype)
+    b2 = jnp.asarray(rs.randn(c) * 0.1, dtype)
+    return x, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("n,c,inner", [
+    (2048, 320, 1280),    # SD 64x64 level (c not a 128-multiple: lane pad)
+    (512, 640, 2560),     # SD 32x32 level
+    (256, 1280, 5120),    # SD mid level (bn=256 branch)
+])
+def test_geglu_fused_interpret_matches_xla(n, c, inner):
+    from eta_inversion_tpu.ops.geglu import geglu_mlp, geglu_mlp_xla
+
+    args = _mk_geglu(n, c, inner, seed=5)
+    got = geglu_mlp(*args, dtype=jnp.bfloat16, interpret=True,
+                    force_fused=True)
+    want = geglu_mlp_xla(*args, dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16 and got.shape == (n, c)
+    # kernel keeps the projection in f32 where the XLA path rounds to bf16;
+    # differences are bounded by bf16 resolution of the intermediates
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_geglu_fused_grads_match_xla():
+    import jax
+
+    from eta_inversion_tpu.ops.geglu import geglu_mlp, geglu_mlp_xla
+
+    args = _mk_geglu(2048, 320, 1280, seed=6)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(geglu_mlp(*a, dtype=jnp.bfloat16,
+                                         interpret=True, force_fused=True)
+                               .astype(jnp.float32)))
+
+    def loss_xla(*a):
+        return jnp.sum(jnp.sin(geglu_mlp_xla(*a, dtype=jnp.bfloat16)
+                               .astype(jnp.float32)))
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    for g, w, name in zip(got, want, ("x", "w1", "b1", "w2", "b2")):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=0.1, atol=0.1, err_msg=f"d{name}")
+
+
+def test_geglu_dispatch_gating():
+    """f32 and ragged row counts take the XLA path even under force_fused
+    (the kernel is opt-in only; default dispatch is always XLA)."""
+    from eta_inversion_tpu.ops import geglu
+
+    args32 = _mk_geglu(96, 320, 1280, seed=7, dtype=jnp.float32)
+    out = geglu.geglu_mlp(*args32, dtype=jnp.float32)   # f32 -> XLA path
+    ref = geglu.geglu_mlp_xla(*args32, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # ragged rows (not % bn) in bf16 must fall back to XLA even when forced
+    argsbf = _mk_geglu(96, 320, 1280, seed=8)
+    out = geglu.geglu_mlp(*argsbf, dtype=jnp.bfloat16, force_fused=True)
+    ref = geglu.geglu_mlp_xla(*argsbf, dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_geglu_leading_batch_dims():
+    """(B, S, C) inputs reshape through the kernel and back."""
+    from eta_inversion_tpu.ops.geglu import geglu_mlp, geglu_mlp_xla
+
+    x, w1, b1, w2, b2 = _mk_geglu(4096, 320, 1280, seed=9)
+    x3 = x.reshape(2, 2048, 320)
+    got = geglu_mlp(x3, w1, b1, w2, b2, dtype=jnp.bfloat16, interpret=True,
+                    force_fused=True)
+    assert got.shape == (2, 2048, 320)
+    flat = geglu_mlp(x, w1, b1, w2, b2, dtype=jnp.bfloat16, interpret=True,
+                     force_fused=True)
+    np.testing.assert_array_equal(np.asarray(got.reshape(4096, 320), np.float32),
+                                  np.asarray(flat, np.float32))
