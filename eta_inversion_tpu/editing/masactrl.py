@@ -93,6 +93,12 @@ class MasaCtrlHooks(AttnHooks):
         return (not meta.is_cross and meta.self_idx >= self.start_layer
                 and self.layout.n_prompts >= 2)
 
+    def passthrough_attn(self, meta: AttnLayerMeta) -> bool:
+        # self layers below start_layer are untouched (reference
+        # masactrl.py:20-39 layer gating); cross layers are never passthrough
+        # (mask_auto taps their probabilities)
+        return not meta.is_cross and not self._active(meta)
+
     def cfg_prefix_safe(self, first_self_meta: AttnLayerMeta) -> bool:
         # every self-layer intervention gates on self_idx >= start_layer and
         # cross hooks sit after the shared-prefix duplication point, so the

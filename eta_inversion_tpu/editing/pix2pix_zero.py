@@ -40,6 +40,9 @@ class StoreAllCrossHooks(AttnHooks):
     def store(self, meta: AttnLayerMeta) -> bool:
         return meta.is_cross
 
+    def passthrough_attn(self, meta: AttnLayerMeta) -> bool:
+        return not meta.is_cross
+
 
 class Pix2PixZeroEditor(Editor):
     def __init__(self, inverter, cross_attention_guidance_amount: float = 0.1,

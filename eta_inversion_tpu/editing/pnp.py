@@ -42,6 +42,9 @@ class PnpHooks(AttnHooks):
     unet_in_rows: Any = (0, 1, 3)
     unet_out_rows: Any = (0, 1, 0, 2)
 
+    def passthrough_attn(self, meta: AttnLayerMeta) -> bool:
+        return not meta.is_cross and meta.self_idx not in PNP_SELF_LAYERS
+
     def qkv(self, meta: AttnLayerMeta, q, k, v):
         if meta.is_cross or meta.self_idx not in PNP_SELF_LAYERS:
             return q, k, v

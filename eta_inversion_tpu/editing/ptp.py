@@ -187,6 +187,14 @@ class PtpHooks(AttnHooks):
     def store(self, meta: AttnLayerMeta) -> bool:
         return meta.store_key in self.store_keys
 
+    def passthrough_attn(self, meta: AttnLayerMeta) -> bool:
+        # self-attention above the replacement threshold (SD: the 64x64
+        # layers) is untouched — `qkv` substitution gates on
+        # res^2 <= attn_replace_thres, probs/fold act on cross layers only
+        return (not meta.is_cross and not self.store(meta)
+                and (not self.do_edit or self.layout.n_prompts < 2
+                     or meta.res * meta.res > self.attn_replace_thres))
+
     def cfg_prefix_safe(self, first_self_meta: AttnLayerMeta) -> bool:
         # ptp touches self-attention only at res^2 <= attn_replace_thres
         # (`qkv`), stores only cross maps, and leaves hidden/out identity —
@@ -571,6 +579,9 @@ class AttnStoreController(Controller):
         class _StoreHooks(AttnHooks):
             def store(self, meta):
                 return meta.store_key in keys
+
+            def passthrough_attn(self, meta):
+                return meta.store_key not in keys
 
         return _StoreHooks()
 

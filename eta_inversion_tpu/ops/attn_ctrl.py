@@ -99,6 +99,16 @@ class AttnHooks:
     def store(self, meta: AttnLayerMeta) -> bool:
         return False
 
+    def passthrough_attn(self, meta: AttnLayerMeta) -> bool:
+        """Static: does this hooks object provably NOT intervene at this
+        attention layer (qkv, probs, store, and out all identity)?  When True
+        the engine may skip the hook calls entirely and take layout-optimized
+        fast paths (the packed multi-head flash kernel — see
+        ops/flash_attention.attention_packed).  Conservative default: False
+        (every subclass that leaves some layers untouched should override
+        with its own static gating)."""
+        return False
+
     def hidden(self, meta: AttnLayerMeta, h):
         return h
 
@@ -152,6 +162,9 @@ class ComposedHooks(AttnHooks):
 
     def store(self, meta):
         return any(h.store(meta) for h in self.hooks)
+
+    def passthrough_attn(self, meta):
+        return all(h.passthrough_attn(meta) for h in self.hooks)
 
     def hidden(self, meta, x):
         for h in self.hooks:

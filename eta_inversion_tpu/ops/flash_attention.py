@@ -283,6 +283,187 @@ def flash_attention_bhsd(q, k, v, scale: float, block_q: int = 512,
     return _flash(q, k, v, scale, block_q, block_k, interpret)
 
 
+def _flash_packed_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *,
+                         block_k: int, scale: float, heads: int, d: int):
+    """One (batch, q-block) program over PACKED (rows, H*D) tiles: all heads'
+    online softmax in one kernel, heads split by static VMEM lane/sublane
+    slices.  K/V are staged once per q-block for ALL heads, and — the point —
+    the operands arrive in the projection layout (B, S, H*D), so the
+    (B,S,H,D)->(B,H,S,D) transposes + output merge that the flat (BH, S, D)
+    kernel forces materialized (7.7 ms/step of the flagship bwd step, ROADMAP
+    round-3 roofline) disappear.  With l_ref, also writes the natural-log row
+    logsumexp per head (VJP residual)."""
+    qa = q_ref[0]                                 # (bq, H*D)
+    bq = qa.shape[0]
+    seq_k = v_ref.shape[1]
+    num_kb = seq_k // block_k
+
+    for h in range(heads):
+        q = qa[:, h * d:(h + 1) * d].astype(jnp.float32) * scale
+
+        def body(kb, carry, h=h, q=q):
+            acc, m_prev, l_prev = carry
+            kt = kt_ref[0, h * d:(h + 1) * d,
+                        pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k),
+                      h * d:(h + 1) * d].astype(jnp.float32)
+            s = jnp.dot(q, kt, preferred_element_type=jnp.float32)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        acc = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc, m0, l0))
+        o_ref[0, :, h * d:(h + 1) * d] = (acc / l).astype(o_ref.dtype)
+        if l_ref is not None:
+            l_ref[0, h:h + 1, :] = (m + jnp.log(l)).reshape(1, bq)
+
+
+def _packed_fwd_impl(q, k, v, scale: float, heads: int, block_q: int,
+                     block_k: int, interpret: bool, need_lse: bool):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // heads
+    kt = jnp.swapaxes(k, 1, 2)  # (B, H*D, S) — the only materialized layout op
+    grid = (b, sq // block_q)
+    out_shape = [jax.ShapeDtypeStruct((b, sq, hd), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, hd), lambda bb, i: (bb, i, 0))]
+    if need_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, heads, sq), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, heads, block_q), lambda bb, i: (bb, 0, i)))
+    outs = pl.pallas_call(
+        functools.partial(_flash_packed_kernel, block_k=block_k, scale=scale,
+                          heads=heads, d=d),
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bb, i: (bb, i, 0)),
+            pl.BlockSpec((1, hd, sk), lambda bb, i: (bb, 0, 0)),
+            pl.BlockSpec((1, sk, hd), lambda bb, i: (bb, 0, 0)),
+        ],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * sq * sq * d,
+            bytes_accessed=(3 * b * sq * hd + b * sq * hd) * q.dtype.itemsize,
+            transcendentals=b * heads * sq * sq,
+        ),
+        interpret=interpret,
+    )(q, kt, v)
+    return (outs[0], outs[1]) if need_lse else (outs[0], None)
+
+
+def _packed_to_flat(x, heads: int):
+    b, s, hd = x.shape
+    d = hd // heads
+    return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3).reshape(b * heads, s, d)
+
+
+def _flat_to_packed(x, b: int, heads: int):
+    bh, s, d = x.shape
+    return x.reshape(b, heads, s, d).transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(q, k, v, scale, heads, block_q, block_k, interpret):
+    o, _ = _packed_fwd_impl(q, k, v, scale, heads, block_q, block_k, interpret,
+                            need_lse=False)
+    return o
+
+
+def _flash_packed_vjp_fwd(q, k, v, scale, heads, block_q, block_k, interpret):
+    o, lse = _packed_fwd_impl(q, k, v, scale, heads, block_q, block_k,
+                              interpret, need_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_packed_vjp_bwd(scale, heads, block_q, block_k, interpret, res, do):
+    # the backward kernels consume the flat (BH, S, D) layout; the transposes
+    # this costs live only on the gradient path (NTI / regdiffinv), where the
+    # old layout paid them in BOTH directions
+    q, k, v, o, lse = res
+    b = q.shape[0]
+    qf, kf, vf, of, dof = (_packed_to_flat(x, heads) for x in (q, k, v, o, do))
+    lsef = lse.reshape(b * heads, 1, -1)
+    dqf, dkf, dvf = _flash_bwd_impl(qf, kf, vf, of, lsef, dof, scale,
+                                    block_q, block_k, interpret)
+    return tuple(_flat_to_packed(g, b, heads) for g in (dqf, dkf, dvf))
+
+
+_flash_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention_packed(q, k, v, scale: float, heads: int,
+                           block_q: int = 512, block_k: int = 2048,
+                           interpret: bool = False):
+    """Multi-head flash attention over packed (B, S, H*D) inputs — the UNet's
+    native projection layout, so no (B,H,S,D) transposes ever materialize.
+    S % block_q == 0; head_dim = H*D/heads must be a multiple of 8 (sublane
+    alignment of the in-VMEM head slices) and <= 128."""
+    return _flash_packed(q, k, v, scale, heads, block_q, block_k, interpret)
+
+
+def packed_block_sizes(sk: int):
+    """Block sizes for the packed multi-head kernel (per-head VMEM tiles are
+    the same as the flat kernel's, so the same sweep applies — see
+    flash_block_sizes)."""
+    if sk <= 1024:
+        return 512, sk
+    return 512, next(bk for bk in (2048, 1024, 512) if sk % bk == 0)
+
+
+def attention_packed(q, k, v, heads: int, scale: Optional[float] = None,
+                     min_flash_seq: int = 1024):
+    """Dispatching self-attention over PACKED (B, S, H*D) q/k/v — the layout
+    the q/k/v projections produce.  On TPU, eligible shapes run the packed
+    multi-head Pallas kernel with zero materialized layout ops; everything
+    else reshapes to (B, H, S, D) for xla_attention, which XLA fuses the
+    virtual transposes into (free — the cost only exists around pallas_call).
+
+    Only for hook-passthrough layers: callers with active qkv/probs/store/out
+    hooks must use the (B, H, S, D) `attention` path."""
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // heads
+    if scale is None:
+        scale = d ** -0.5
+    if heads == 1:
+        # single-head (VAE mid-attention): packed already IS flat — ride the
+        # existing dispatcher through a free reshape
+        return attention(q[:, None], k[:, None], v[:, None], scale,
+                         min_flash_seq=min_flash_seq)[:, 0]
+    use_flash = (
+        on_tpu()
+        and sq == sk
+        and sq >= min_flash_seq
+        and sq % 512 == 0
+        and heads * d == hd
+        and d % 8 == 0
+        and d <= 128
+    )
+    if not use_flash:
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        o = xla_attention(qh, kh, vh, scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, hd)
+    block_q, block_k = packed_block_sizes(sk)
+    return flash_attention_packed(q, k, v, scale=float(scale), heads=heads,
+                                  block_q=block_q, block_k=block_k)
+
+
 def _crossk_kernel(q_ref, kt_ref, v_ref, o_ref, *, sk: int, scale: float):
     """Short-K attention, one (batch*head, q-block) program: the whole padded
     key range fits one MXU pass, the score tile never leaves VMEM."""

@@ -350,3 +350,73 @@ def test_parse_mesh_spec():
     assert _parse_mesh("") is None
     assert _parse_mesh("8") == (8, 1)
     assert _parse_mesh("4x2") == (4, 2)
+
+
+def test_passthrough_attn_consistency():
+    """passthrough_attn=True must imply the hooks truly don't intervene:
+    qkv and probs are identity and nothing materializes/stores — the packed
+    fast path (models/attention.py) skips the hook calls based on it."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.editing.controller import BatchLayout
+    from eta_inversion_tpu.editing.masactrl import MasaCtrlHooks
+    from eta_inversion_tpu.editing.pnp import PnpHooks
+    from eta_inversion_tpu.editing.ptp import PtpHooks
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta, ComposedHooks
+
+    B = 2
+    layout = BatchLayout(2 * B, True)
+    rs = np.random.RandomState(7)
+
+    ptp = PtpHooks(layout=layout, mode="replace",
+                   alpha_i=jnp.asarray(rs.rand(B, 1, 1, 77), jnp.float32),
+                   self_gate=jnp.asarray(True),
+                   mapper_mat=jnp.asarray(rs.rand(B, 77, 77), jnp.float32))
+    masa = MasaCtrlHooks(layout=layout, gate=jnp.asarray(True), start_layer=10)
+    pnp = PnpHooks(qk_gate=jnp.asarray(True), conv_gate=jnp.asarray(True))
+    composed = ComposedHooks(ptp, masa)
+
+    metas = []
+    idx = 0
+    for place, ress in (("down", (64, 32, 16)), ("mid", (8,)),
+                        ("up", (16, 32, 64))):
+        for res in ress:
+            for is_cross in (False, True):
+                metas.append(AttnLayerMeta(idx, is_cross, place, res,
+                                           idx // 2, idx // 2, 8))
+                idx += 1
+
+    for hooks in (ptp, masa, pnp, composed):
+        for meta in metas:
+            if not hooks.passthrough_attn(meta):
+                continue
+            rows = layout.cond_start + 2 * B if hasattr(layout, "cond_start") \
+                else 3 * B
+            q = jnp.asarray(rs.randn(rows, 8, 16, 4), jnp.float32)
+            k, v = q * 0.5, q * 0.25
+            q2, k2, v2 = hooks.qkv(meta, q, k, v)
+            np.testing.assert_array_equal(np.asarray(q2), np.asarray(q))
+            np.testing.assert_array_equal(np.asarray(k2), np.asarray(k))
+            np.testing.assert_array_equal(np.asarray(v2), np.asarray(v))
+            assert not hooks.wants_probs(meta), (type(hooks).__name__, meta)
+            assert not hooks.store(meta), (type(hooks).__name__, meta)
+            p = jnp.asarray(rs.rand(rows, 8, 16, 16), jnp.float32)
+            np.testing.assert_array_equal(np.asarray(hooks.probs(meta, p)),
+                                          np.asarray(p))
+            o2 = hooks.out(meta, q)
+            np.testing.assert_array_equal(np.asarray(o2), np.asarray(q))
+
+    # flagship expectations: ptp leaves the 64x64 self layers alone (they ride
+    # the packed kernel) but touches 32x32 self and all cross layers
+    self64 = AttnLayerMeta(0, False, "down", 64, 0, -1, 8)
+    self32 = AttnLayerMeta(2, False, "down", 32, 1, -1, 8)
+    cross64 = AttnLayerMeta(1, True, "down", 64, -1, 0, 8)
+    assert ptp.passthrough_attn(self64)
+    assert not ptp.passthrough_attn(self32)
+    assert not ptp.passthrough_attn(cross64)
+    # masactrl: self layers below start_layer pass through, up-block 64x64
+    # self layers (self_idx >= 10) do not
+    up64 = AttnLayerMeta(30, False, "up", 64, 14, -1, 8)
+    assert masa.passthrough_attn(self64)
+    assert not masa.passthrough_attn(up64)
