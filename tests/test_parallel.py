@@ -209,3 +209,53 @@ def test_dryrun_multichip_driver_invocation():
         env=env, capture_output=True, text=True, timeout=580)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
+
+
+def test_ring_attention_matches_full():
+    """Sequence-parallel ring attention over the 8-device mesh must equal
+    single-device attention, and its output must actually be sequence-sharded
+    (one S/8 block per device)."""
+    from eta_inversion_tpu.ops.flash_attention import xla_attention
+    from eta_inversion_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(8, model_parallel=8)  # 8-way "model" axis
+    rs = np.random.RandomState(3)
+    b, h, s, d = 2, 4, 256, 16
+    q = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, h, s, d), jnp.float32)
+
+    out = ring_attention(q, k, v, mesh, axis="model")
+    want = xla_attention(q, k, v, d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # the sequence dim is genuinely split: 8 shards of 32 rows each
+    names = {n for ax in out.sharding.spec if ax for n in
+             ((ax,) if isinstance(ax, str) else ax)}
+    assert "model" in names, out.sharding
+    assert {sh.data.shape[2] for sh in out.addressable_shards} == {s // 8}
+
+    # indivisible S is a loud error, not silent wrong math
+    with pytest.raises(ValueError):
+        ring_attention(q[:, :, :100], k[:, :, :100], v[:, :, :100], mesh)
+
+
+def test_ring_attention_bf16_and_odd_axis():
+    """bf16 inputs accumulate in fp32; a 4-way axis on the (4, 2) mesh works
+    with the other axis left for data."""
+    from eta_inversion_tpu.ops.flash_attention import xla_attention
+    from eta_inversion_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(8, model_parallel=2)  # data=4, model=2
+    rs = np.random.RandomState(4)
+    b, h, s, d = 1, 2, 128, 8
+    q = jnp.asarray(rs.randn(b, h, s, d), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(b, h, s, d), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(b, h, s, d), jnp.bfloat16)
+    out = ring_attention(q, k, v, mesh, axis="model")
+    want = xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), d ** -0.5)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
