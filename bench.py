@@ -12,7 +12,8 @@ eta-inversion candidate-noise selection.
 
 Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
 BENCH_CONFIG=etainv_ptp|diffinv_simple|nti_simple|ddpminv_ptp|
-regdiffinv_simple, BENCH_BATCH (default 8; 1 = pure latency mode).
+regdiffinv_simple, BENCH_BATCH (default 8; 1 = pure latency mode),
+BENCH_MODEL (default sd15; sd21 = second model family, SD2.x geometry).
 """
 
 import json
@@ -47,8 +48,9 @@ def main():
     # pair-batched editing (B edits per compiled program) — the TPU-native
     # throughput lever the reference lacks; B=1 measures pure latency
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    model_name = os.environ.get("BENCH_MODEL", "sd15")
 
-    model, (pre, post) = load_diffusion_model("sd15", dtype="bfloat16")
+    model, (pre, post) = load_diffusion_model(model_name, dtype="bfloat16")
 
     rs = np.random.RandomState(0)
     images = jnp.asarray(rs.rand(batch, 512, 512, 3).astype("float32") * 2 - 1)
@@ -127,8 +129,9 @@ def main():
     baseline_s = 2.0  # v5e target from BASELINE.md
     print(f"# throughput: {1.0 / per_edit:.3f} images/sec/chip "
           f"({60.0 / per_edit:.1f} PIE imgs/min/chip)", file=sys.stderr)
+    tag = "" if model_name == "sd15" else f"_{model_name}"
     print(json.dumps({
-        "metric": f"{config}_{steps}step_512px_batch{batch}_s_per_edit",
+        "metric": f"{config}{tag}_{steps}step_512px_batch{batch}_s_per_edit",
         "value": round(per_edit, 4),
         "unit": "s/edit",
         "vs_baseline": round(baseline_s / per_edit, 4),

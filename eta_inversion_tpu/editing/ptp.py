@@ -461,13 +461,15 @@ class PtpController(Controller):
         return len(self.store_keys) > 0
 
     def init_state(self, engine, latent, contexts):
-        heads = engine.model.preset.unet.num_heads
+        # per-layer head counts: uniform on SD1.x, per-stage on SD2.x
+        heads_by_key = {m.store_key: m.heads
+                        for pair in engine.model.attn_metas.values() for m in pair}
         n = 2 * self.n_pairs  # [s_1..s_B, t_1..t_B]
         state: Dict[str, Any] = {
             "cross_alpha": jnp.asarray(self.cross_alpha),
             "store_sum": {
-                k: jnp.zeros((n, heads, int(k.split("_")[2]) ** 2, MAX_NUM_WORDS),
-                             jnp.float32)
+                k: jnp.zeros((n, heads_by_key[k], int(k.split("_")[2]) ** 2,
+                              MAX_NUM_WORDS), jnp.float32)
                 for k in self.store_keys},
         }
         if self.mapper_mat is not None:
@@ -586,11 +588,13 @@ class AttnStoreController(Controller):
         return _StoreHooks()
 
     def init_state(self, engine, latent, contexts):
-        heads = engine.model.preset.unet.num_heads
+        heads_by_key = {m.store_key: m.heads
+                        for pair in engine.model.attn_metas.values() for m in pair}
         state = {
             "store_sum": {
-                k: jnp.zeros((self.n_prompts, heads, int(k.split("_")[2]) ** 2,
-                              MAX_NUM_WORDS), jnp.float32)
+                k: jnp.zeros((self.n_prompts, heads_by_key[k],
+                              int(k.split("_")[2]) ** 2, MAX_NUM_WORDS),
+                             jnp.float32)
                 for k in self.store_keys},
             "count": jnp.zeros((), jnp.float32),
         }

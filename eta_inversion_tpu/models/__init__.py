@@ -60,7 +60,47 @@ TINY = ModelPreset(
     text=CLIPTextConfig(vocab_size=1024, hidden_size=32, num_layers=2, num_heads=2),
 )
 
-PRESETS: Dict[str, ModelPreset] = {"sd15": SD15, "tiny": TINY}
+# Stable Diffusion 2.1 base (512px, epsilon-prediction): SD2.x UNet geometry —
+# fixed 64-wide heads (5/10/20/20 per stage), linear transformer projections,
+# 1024-dim cross-attention fed by the OpenCLIP ViT-H text tower (23 transformer
+# layers as shipped by HF, exact-erf gelu instead of OpenAI CLIP's quick-gelu).
+# Same 32-attention-layer topology as SD1.x, so every editor/controller and the
+# reference's layer-count assertions (ptp_utils.py:299) carry over unchanged.
+SD21 = ModelPreset(
+    name="sd21",
+    image_size=512,
+    unet=UNetConfig(
+        cross_attention_dim=1024,
+        head_dim=64,
+        use_linear_projection=True,
+    ),
+    vae=VAEConfig(),
+    text=CLIPTextConfig(hidden_size=1024, num_layers=23, num_heads=16,
+                        act="gelu"),
+)
+
+# Tiny SD2.x-geometry homologue (head_dim mode + linear projections) so the
+# CPU suite exercises the second model family's code paths end-to-end.
+TINY21 = ModelPreset(
+    name="tiny21",
+    image_size=16,
+    unet=UNetConfig(
+        sample_size=8,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        head_dim=16,
+        use_linear_projection=True,
+        norm_num_groups=8,
+        attn_down=(True, False),
+    ),
+    vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8),
+    text=CLIPTextConfig(vocab_size=1024, hidden_size=32, num_layers=2, num_heads=2,
+                        act="gelu"),
+)
+
+PRESETS: Dict[str, ModelPreset] = {"sd15": SD15, "tiny": TINY, "sd21": SD21,
+                                   "tiny21": TINY21}
 
 
 class DiffusionModel:

@@ -167,7 +167,13 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2D(nn.Module):
-    """GroupNorm -> 1x1 conv in -> transformer block(s) -> 1x1 conv out, residual."""
+    """GroupNorm -> proj in -> transformer block(s) -> proj out, residual.
+
+    Projections are 1x1 convs on the NHWC map (SD1.x) or, with `use_linear`,
+    nn.Dense on the flattened (B, H*W, C) tokens (SD2.x
+    `use_linear_projection`; diffusers reshapes BEFORE proj_in there, after
+    it otherwise — numerically a 1x1 conv and a Dense agree, only the param
+    shape and the reshape order differ)."""
 
     heads: int
     head_dim: int
@@ -175,6 +181,7 @@ class Transformer2D(nn.Module):
     cross_meta: AttnLayerMeta
     depth: int = 1
     groups: int = 32
+    use_linear: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,15 +192,23 @@ class Transformer2D(nn.Module):
         residual = x
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=jnp.float32,
                          name="norm")(x).astype(self.dtype)
-        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, inner)
+        if self.use_linear:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
             x = BasicTransformerBlock(self.heads, self.head_dim, self.self_meta,
                                       self.cross_meta, self.dtype,
                                       name=f"blocks_{d}")(x, context, hooks,
                                                           dup=dup and d == 0)
-        x = x.reshape(-1, h, w, inner)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        if self.use_linear:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(-1, h, w, c)
+        else:
+            x = x.reshape(-1, h, w, inner)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         if residual.shape[0] != x.shape[0]:
             residual = jnp.tile(residual, (x.shape[0] // residual.shape[0], 1, 1, 1))
         return x + residual

@@ -34,6 +34,13 @@ class UNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 768
     num_heads: int = 8
+    # SD2.x convention: fixed per-head width, head COUNT varies per stage
+    # (ch // head_dim); when set, `num_heads` is ignored.  SD1.x (None) fixes
+    # the head count instead (diffusers' scalar-vs-list `attention_head_dim`).
+    head_dim: Optional[int] = None
+    # SD2.x Transformer2D uses nn.Linear proj_in/out on the flattened tokens
+    # instead of 1x1 convs (diffusers `use_linear_projection`)
+    use_linear_projection: bool = False
     norm_num_groups: int = 32
     # which down stages carry cross-attention transformers (SD1.x: all but last)
     attn_down: Tuple[bool, ...] = (True, True, True, False)
@@ -45,6 +52,12 @@ class UNetConfig:
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    def heads_for(self, ch: int) -> int:
+        if self.head_dim is not None:
+            assert ch % self.head_dim == 0, (ch, self.head_dim)
+            return ch // self.head_dim
+        return self.num_heads
 
 
 def build_attn_metas(config: UNetConfig) -> Dict[str, Tuple[AttnLayerMeta, AttnLayerMeta]]:
@@ -73,15 +86,17 @@ def build_attn_metas(config: UNetConfig) -> Dict[str, Tuple[AttnLayerMeta, AttnL
     for i in range(config.num_stages):
         if config.attn_down[i]:
             for j in range(config.layers_per_block):
-                add(f"down_{i}_{j}", "down", res, config.num_heads)
+                add(f"down_{i}_{j}", "down", res,
+                    config.heads_for(config.block_out_channels[i]))
         if i < config.num_stages - 1:
             res //= 2
-    add("mid", "mid", res, config.num_heads)
+    add("mid", "mid", res, config.heads_for(config.block_out_channels[-1]))
     for i in reversed(range(config.num_stages)):
         if config.attn_down[i]:
             for j in range(config.layers_per_block + 1):
                 # up block numbering in module tree is reversed stage order
-                add(f"up_{config.num_stages - 1 - i}_{j}", "up", res, config.num_heads)
+                add(f"up_{config.num_stages - 1 - i}_{j}", "up", res,
+                    config.heads_for(config.block_out_channels[i]))
         if i > 0:
             res *= 2
     return metas
@@ -127,8 +142,10 @@ class UNet2DCondition(nn.Module):
             ch = x.shape[-1]
             dup = dup_pending
             dup_pending = False
-            x = Transformer2D(cfg.num_heads, ch // cfg.num_heads, sm, cm,
+            heads = cfg.heads_for(ch)
+            x = Transformer2D(heads, ch // heads, sm, cm,
                               groups=cfg.norm_num_groups, dtype=self.dtype,
+                              use_linear=cfg.use_linear_projection,
                               name=name)(x, ctx, hooks, dup=dup)
             if temb.shape[0] != x.shape[0]:
                 temb = jnp.tile(temb, (x.shape[0] // temb.shape[0], 1))

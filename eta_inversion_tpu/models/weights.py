@@ -137,10 +137,14 @@ def _resnet(dst: Dict, tp: str, fp: Tuple[str, ...], time_emb: bool = True,
         _conv(dst, f"{tp}.conv_shortcut", fp + ("conv_shortcut",))
 
 
-def _transformer(dst: Dict, tp: str, fp: Tuple[str, ...]):
+def _transformer(dst: Dict, tp: str, fp: Tuple[str, ...], linear: bool = False):
     _norm(dst, f"{tp}.norm", fp + ("norm",))
-    _conv(dst, f"{tp}.proj_in", fp + ("proj_in",))
-    _conv(dst, f"{tp}.proj_out", fp + ("proj_out",))
+    if linear:  # SD2.x use_linear_projection: (inner, in) nn.Linear weights
+        _dense(dst, f"{tp}.proj_in", fp + ("proj_in",))
+        _dense(dst, f"{tp}.proj_out", fp + ("proj_out",))
+    else:
+        _conv(dst, f"{tp}.proj_in", fp + ("proj_in",))
+        _conv(dst, f"{tp}.proj_out", fp + ("proj_out",))
     b = f"{tp}.transformer_blocks.0"
     fb = fp + ("blocks_0",)
     _norm(dst, f"{b}.norm1", fb + ("norm1",))
@@ -168,7 +172,8 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
                     has_shortcut=in_ch != ch)
             if cfg.attn_down[i]:
                 _transformer(m, f"down_blocks.{i}.attentions.{j}",
-                             (f"down_{i}_attn_{j}",))
+                             (f"down_{i}_attn_{j}",),
+                             linear=cfg.use_linear_projection)
         if i < cfg.num_stages - 1:
             _conv(m, f"down_blocks.{i}.downsamplers.0.conv",
                   (f"down_{i}_downsample", "conv"))
@@ -176,7 +181,8 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
     last = cfg.block_out_channels[-1]
     _resnet(m, "mid_block.resnets.0", ("mid_resnet_0",))
     _resnet(m, "mid_block.resnets.1", ("mid_resnet_1",))
-    _transformer(m, "mid_block.attentions.0", ("mid_attn",))
+    _transformer(m, "mid_block.attentions.0", ("mid_attn",),
+                 linear=cfg.use_linear_projection)
     # up path: every resnet concatenates a skip -> always has a shortcut
     for up_i, stage in enumerate(reversed(range(cfg.num_stages))):
         for j in range(cfg.layers_per_block + 1):
@@ -184,7 +190,8 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
                     has_shortcut=True)
             if cfg.attn_down[stage]:
                 _transformer(m, f"up_blocks.{up_i}.attentions.{j}",
-                             (f"up_{up_i}_attn_{j}",))
+                             (f"up_{up_i}_attn_{j}",),
+                             linear=cfg.use_linear_projection)
         if stage > 0:
             _conv(m, f"up_blocks.{up_i}.upsamplers.0.conv",
                   (f"up_{up_i}_upsample", "conv"))

@@ -40,6 +40,16 @@ def tiny_model():
 
 
 @pytest.fixture(scope="session")
+def tiny21_model():
+    """SD2.x-geometry homologue: per-stage head counts (fixed head_dim) and
+    linear transformer projections."""
+    from eta_inversion_tpu.models import load_diffusion_model
+
+    model, (pre, post) = load_diffusion_model("tiny21")
+    return model
+
+
+@pytest.fixture(scope="session")
 def test_image():
     """Deterministic 16x16 synthetic test image in [-1, 1] NHWC."""
     import numpy as np

@@ -420,3 +420,14 @@ def test_passthrough_attn_consistency():
     up64 = AttnLayerMeta(30, False, "up", 64, 14, -1, 8)
     assert masa.passthrough_attn(self64)
     assert not masa.passthrough_attn(up64)
+
+
+def test_sd2_geometry_flagship_edit(tiny21_model, test_image):
+    """Second model family (SD2.x geometry: per-stage head counts, linear
+    transformer projections): the flagship etainv+ptp edit — attention-map
+    stores sized by per-LAYER head counts, masks, candidate-noise argmin —
+    runs end-to-end and is deterministic."""
+    a = run_edit("ptp", tiny21_model, test_image, inverter_name="etainv")
+    b = run_edit("ptp", tiny21_model, test_image, inverter_name="etainv")
+    assert a is not None and np.isfinite(a)
+    assert a == b

@@ -221,3 +221,44 @@ def test_legacy_vae_attention_keys_normalize():
     assert out["encoder.mid_block.attentions.0.to_out.0.weight"].shape == (c, c)
     assert "encoder.mid_block.attentions.0.group_norm.weight" in out
     assert out["encoder.conv_in.weight"].shape == (c, 3, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# 4: SD-2.1 (second model family) key maps
+# ---------------------------------------------------------------------------
+
+def test_sd21_text_keymap_matches_transformers_state_dict():
+    """SD-2.1's text encoder is OpenCLIP ViT-H repackaged by HF as a
+    CLIPTextModel (hidden 1024, 23 layers, exact gelu); its state dict is the
+    oracle for clip_text_key_map(SD21.text)."""
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel
+
+    from eta_inversion_tpu.models import SD21
+
+    hf = CLIPTextModel(HFConfig(
+        vocab_size=49408, hidden_size=1024, intermediate_size=4096,
+        num_hidden_layers=23, num_attention_heads=16,
+        max_position_embeddings=77, hidden_act="gelu"))
+    hf_keys = {k for k in hf.state_dict() if not k.endswith("position_ids")}
+    ours = set(clip_text_key_map(SD21.text))
+    assert ours == hf_keys, (
+        f"missing from map: {sorted(hf_keys - ours)[:5]}; "
+        f"extra in map: {sorted(ours - hf_keys)[:5]}")
+
+
+def test_sd21_unet_keymap_key_set_and_linear_projections():
+    """The SD-2.1 UNet state dict uses the same key NAMES as SD-1.5 (the
+    use_linear_projection change only alters proj_in/out tensor ranks), so the
+    independently enumerated sd15 oracle pins the sd21 key set too; the
+    transformer projections must map as 2-D linears (DENSE), not convs."""
+    from eta_inversion_tpu.models import SD21
+    from eta_inversion_tpu.models.weights import DENSE
+
+    m = unet_key_map(SD21.unet)
+    assert set(m) == _expected_sd15_unet_keys()
+    proj_keys = [k for k in m if k.endswith("proj_in.weight")
+                 or k.endswith("proj_out.weight")]
+    assert len(proj_keys) == 32  # 16 transformers x in/out
+    for k in proj_keys:
+        assert m[k][1] is DENSE, k

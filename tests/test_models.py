@@ -158,3 +158,43 @@ def test_gelu_exact_f32_identity_and_bf16_accuracy():
     got16 = np.asarray(gelu_exact(xb).astype(jnp.float32)).astype(np.float64)
     # tolerance = polynomial error (2e-4 abs) + bf16 output rounding (2^-8 rel)
     assert np.all(np.abs(got16 - exact) <= 2e-4 + np.abs(exact) * 2.0 ** -8)
+
+
+def test_sd21_attn_topology():
+    """SD-2.1 (second model family): same 32-layer attention topology as
+    SD-1.5 but SD2.x head geometry — fixed head_dim 64, so the head COUNT
+    varies per stage (320/640/1280 channels -> 5/10/20 heads; diffusers
+    `attention_head_dim=[5, 10, 20, 20]` for stabilityai/stable-diffusion-2-1)."""
+    from eta_inversion_tpu.models import SD21
+
+    metas = build_attn_metas(SD21.unet)
+    flat = [m for pair in metas.values() for m in pair]
+    assert len(flat) == 32 and sum(m.is_cross for m in flat) == 16
+    heads_by_res = {m.res: m.heads for m in flat}
+    assert heads_by_res == {64: 5, 32: 10, 16: 20, 8: 20}
+    assert SD21.unet.cross_attention_dim == 1024
+    assert SD21.text.hidden_size == 1024 and SD21.text.num_layers == 23
+
+
+def test_tiny21_unet_forward_and_store(tiny21_model):
+    """The SD2.x code paths (linear proj_in/out, per-stage heads) produce
+    correct shapes, and hook stores carry the per-layer head counts."""
+    model = tiny21_model
+    z = jnp.zeros((2, 8, 8, 4))
+    ctx = jnp.zeros((2, 77, 32))
+    eps = model.apply_unet(z, 10, ctx)
+    assert eps.shape == (2, 8, 8, 4)
+
+    class StoreAll(AttnHooks):
+        def store(self, meta):
+            return meta.is_cross
+
+    eps2, store = model.apply_unet(z, 10, ctx, hooks=StoreAll(), collect_store=True)
+    heads_by_key = {m.store_key: m.heads
+                    for pair in model.attn_metas.values() for m in pair}
+    assert len(store) == 4
+    for k, v in store.items():
+        # (B, H, S, 77) with the per-layer head count (2 at ch32, 4 at ch64)
+        assert v.shape[1] == heads_by_key[k], (k, v.shape)
+        assert v.shape[0] == 2 and v.shape[-1] == 77
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps2), rtol=1e-5, atol=1e-5)

@@ -165,6 +165,50 @@ def test_transformer2d_matches_torch():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_transformer2d_linear_projection_matches_torch():
+    """SD2.x variant (diffusers `use_linear_projection=True`, as in
+    stabilityai/stable-diffusion-2-1): proj_in/out are nn.Linear on the
+    flattened tokens, applied after/before the reshape."""
+    from eta_inversion_tpu.models.attention import Transformer2D
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta
+
+    heads, hd = 2, 16
+    inner = heads * hd
+    sm = AttnLayerMeta(idx=0, is_cross=False, place="down", res=8, self_idx=0,
+                       cross_idx=-1, heads=heads)
+    cm = AttnLayerMeta(idx=1, is_cross=True, place="down", res=8, self_idx=-1,
+                       cross_idx=0, heads=heads)
+    model = Transformer2D(heads=heads, head_dim=hd, self_meta=sm, cross_meta=cm,
+                          groups=8, use_linear=True)
+    rs = np.random.RandomState(7)
+    x = rs.randn(2, 8, 8, inner).astype(np.float32)
+    ctx = rs.randn(2, 7, 24).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(5), jnp.asarray(x),
+                        jnp.asarray(ctx))["params"]
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(ctx)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    tx = _nhwc_to_nchw(x)
+    tctx = _t(ctx)
+    residual = tx
+    h = F.group_norm(tx, num_groups=8, weight=_t(p["norm"]["scale"]),
+                     bias=_t(p["norm"]["bias"]), eps=1e-6)
+    b = h.shape[0]
+    # diffusers reshapes BEFORE proj_in in the linear-projection branch
+    h = h.permute(0, 2, 3, 1).reshape(b, 64, inner)
+    h = F.linear(h, _lin_w(p["proj_in"]["kernel"]), _t(p["proj_in"]["bias"]))
+    bp = p["blocks_0"]
+    h = h + _torch_attention(bp["attn1"], _torch_ln(bp["norm1"], h),
+                             _torch_ln(bp["norm1"], h), heads)
+    h = h + _torch_attention(bp["attn2"], _torch_ln(bp["norm2"], h), tctx, heads)
+    h = h + _torch_geglu_ff(bp["ff"], _torch_ln(bp["norm3"], h))
+    h = F.linear(h, _lin_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+    h = h.reshape(b, 8, 8, inner).permute(0, 3, 1, 2)
+    want = (h + residual).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 # ---------------------------------------------------------------------------
 # LPIPS: scaling layer -> alexnet relu features -> unit-normalize ->
 # weighted squared diff -> spatial mean, summed over stages
