@@ -127,13 +127,9 @@ class DiffusionInversion:
 
     def create_context(self, prompt: str, negative_prompt: Optional[str] = "") -> jnp.ndarray:
         """[uncond; cond] embeddings, shape (2, 77, D) — reference
-        diffusion_inversion.py:210-247."""
-        model = self.model
-
-        def fn(params, ids):
-            return model.text_encoder.apply({"params": params["text"]}, ids)
-
-        jfn = self._cached("text", (), fn)
+        diffusion_inversion.py:210-247.  (Dual-tower presets return the packed
+        (2, 78, D) SDXL context; see DiffusionModel.text_context_fn.)"""
+        jfn = self._cached("text", (), self.model.text_context_fn())
         ids_c = jnp.asarray(self.model.tokenizer([prompt]))
         cond = jfn(self.model.params, ids_c)
         if negative_prompt is None:
@@ -144,13 +140,9 @@ class DiffusionInversion:
 
     def embed_texts(self, prompts: List[str]) -> jnp.ndarray:
         """Batch-embed N prompts -> (N, 77, D) in one text-encoder call."""
-        model = self.model
-
-        def fn(params, ids):
-            return model.text_encoder.apply({"params": params["text"]}, ids)
-
         ids = jnp.asarray(self.model.tokenizer(list(prompts)))
-        return self._cached("text", (), fn)(self.model.params, ids)
+        return self._cached("text", (), self.model.text_context_fn())(
+            self.model.params, ids)
 
     def cat_context(self, contexts: List[jnp.ndarray]) -> jnp.ndarray:
         """[[u1,c1],[u2,c2]] -> [u1,u2,c1,c2] (reference :462-479)."""
@@ -233,6 +225,10 @@ class DiffusionInversion:
         """Shared-prefix CFG is exact whenever no hook touches the UNet prefix
         up to the first self-attention layer (AttnHooks.cfg_prefix_safe) and
         no batch-restructuring plan is active."""
+        if self.model.preset.unet.addition_embed:
+            # added-cond (SDXL): the pooled text embedding differentiates the
+            # uncond/cond rows from the very first resnet — no shared prefix
+            return False
         if hooks is None:
             return True
         if getattr(hooks, "unet_in_rows", None) is not None:

@@ -33,6 +33,10 @@ class ModelPreset:
     unet: UNetConfig
     vae: VAEConfig
     text: CLIPTextConfig
+    # second text tower (SDXL: OpenCLIP bigG with pooled projection); its
+    # penultimate states are concatenated onto the first tower's along the
+    # feature axis and the pooled embedding feeds the added-cond time embed
+    text2: Optional[CLIPTextConfig] = None
 
 
 SD15 = ModelPreset(
@@ -99,8 +103,62 @@ TINY21 = ModelPreset(
                         act="gelu"),
 )
 
+# Stable Diffusion XL base 1.0 (1024px): third model family — 3-stage UNet
+# (320/640/1280, no attention at full res), per-stage transformer DEPTH
+# (1/2/10; 70 transformer blocks = 140 attention layers), 2048-d cross-
+# attention fed by TWO text towers (CLIP ViT-L + OpenCLIP bigG, both read at
+# the penultimate layer), and text_time added conditioning (pooled bigG
+# embedding + 6 sinusoidal micro-conditioning ids folded into the time
+# embedding).  The largest attention is 4096 tokens at 1024px (stage 1 at
+# 64x64) — the same flash-kernel regime as SD1.x at 512px.
+SDXL = ModelPreset(
+    name="sdxl",
+    image_size=1024,
+    unet=UNetConfig(
+        sample_size=128,
+        block_out_channels=(320, 640, 1280),
+        cross_attention_dim=2048,
+        head_dim=64,
+        use_linear_projection=True,
+        attn_down=(False, True, True),
+        transformer_depth=(1, 2, 10),
+        addition_embed=True,
+    ),
+    vae=VAEConfig(scaling_factor=0.13025),
+    text=CLIPTextConfig(penultimate=True),
+    text2=CLIPTextConfig(hidden_size=1280, num_layers=32, num_heads=20,
+                         act="gelu", penultimate=True, projection_dim=1280),
+)
+
+# Tiny SDXL-geometry homologue: depth-2 transformers, dual text towers,
+# added-cond embedding — so the CPU suite runs the third family end-to-end.
+TINYXL = ModelPreset(
+    name="tinyxl",
+    image_size=16,
+    unet=UNetConfig(
+        sample_size=8,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        head_dim=16,
+        use_linear_projection=True,
+        norm_num_groups=8,
+        attn_down=(False, True),
+        transformer_depth=(1, 2),
+        addition_embed=True,
+        addition_time_embed_dim=8,
+        addition_pooled_dim=16,
+    ),
+    vae=VAEConfig(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8),
+    text=CLIPTextConfig(vocab_size=1024, hidden_size=16, num_layers=2, num_heads=2,
+                        penultimate=True),
+    text2=CLIPTextConfig(vocab_size=1024, hidden_size=16, num_layers=2, num_heads=2,
+                         act="gelu", penultimate=True, projection_dim=16),
+)
+
 PRESETS: Dict[str, ModelPreset] = {"sd15": SD15, "tiny": TINY, "sd21": SD21,
-                                   "tiny21": TINY21}
+                                   "tiny21": TINY21, "sdxl": SDXL,
+                                   "tinyxl": TINYXL}
 
 
 class DiffusionModel:
@@ -123,7 +181,9 @@ class DiffusionModel:
         self.unet = UNet2DCondition(preset.unet, dtype=dtype)
         self.vae = AutoencoderKL(preset.vae, dtype=dtype)
         self.text_encoder = CLIPTextEncoder(preset.text, dtype=dtype)
-        self.params = params  # {"unet": ..., "vae": ..., "text": ...}
+        self.text_encoder_2 = (CLIPTextEncoder(preset.text2, dtype=dtype)
+                               if preset.text2 is not None else None)
+        self.params = params  # {"unet": ..., "vae": ..., "text"[, "text2"]: ...}
         self.attn_metas = build_attn_metas(preset.unet)
 
     # ---- latent geometry -----------------------------------------------------
@@ -155,9 +215,41 @@ class DiffusionModel:
             return eps, flatten_store(vars_.get("attn_store", {}))
         return self.unet.apply({"params": self.params["unet"]}, latent, t, context, hooks)
 
+    def text_context_fn(self):
+        """Pure fn(params, ids) -> engine context.
+
+        Single tower: (B, 77, D) hidden states (reference create_context,
+        diffusion_inversion.py:210-247).  Dual towers (SDXL): the penultimate
+        states of both towers concatenated on the feature axis, plus ONE extra
+        packed row carrying [pooled bigG embedding; 6 micro-cond time ids] —
+        (B, 78, D).  Everything downstream (CFG batching, scan carries,
+        editors) treats context as an opaque (B, T, D) array; only the UNet
+        unpacks the extra row (models/unet.py addition_embed)."""
+        unet_cfg = self.preset.unet
+        size = float(self.image_size)
+        # (orig_h, orig_w, crop_top, crop_left, target_h, target_w) — the
+        # SDXL pipeline defaults for an uncropped native-size generation
+        time_ids = np.asarray([size, size, 0.0, 0.0, size, size], np.float32)
+
+        def fn(params, ids):
+            h1 = self.text_encoder.apply({"params": params["text"]}, ids)
+            if self.text_encoder_2 is None:
+                return h1
+            h2, pooled = self.text_encoder_2.apply({"params": params["text2"]},
+                                                   ids)
+            ctx = jnp.concatenate([h1.astype(self.dtype),
+                                   h2.astype(self.dtype)], axis=-1)
+            b, _, d = ctx.shape
+            pd = unet_cfg.addition_pooled_dim
+            row = jnp.zeros((b, d), ctx.dtype)
+            row = row.at[:, :pd].set(pooled.astype(ctx.dtype))
+            row = row.at[:, pd:pd + 6].set(jnp.asarray(time_ids, ctx.dtype))
+            return jnp.concatenate([ctx, row[:, None]], axis=1)
+
+        return fn
+
     def encode_text(self, input_ids) -> jnp.ndarray:
-        return self.text_encoder.apply({"params": self.params["text"]},
-                                       jnp.asarray(input_ids))
+        return self.text_context_fn()(self.params, jnp.asarray(input_ids))
 
     def vae_encode(self, image) -> jnp.ndarray:
         """(B,H,W,3) [-1,1] -> scaled latent (posterior mean, reference
@@ -180,10 +272,11 @@ class DiffusionModel:
 
 def init_random_params(preset: ModelPreset, dtype=jnp.float32, seed: int = 0) -> Dict[str, Any]:
     """Deterministic random-init parameters with the exact architecture shapes."""
-    k_unet, k_vae, k_text = jax.random.split(jax.random.PRNGKey(seed), 3)
+    k_unet, k_vae, k_text, k_text2 = jax.random.split(jax.random.PRNGKey(seed), 4)
     s = preset.unet.sample_size
+    tokens = preset.unet.context_tokens + (1 if preset.unet.addition_embed else 0)
     latent = jnp.zeros((1, s, s, preset.unet.in_channels), dtype)
-    ctx = jnp.zeros((1, 77, preset.unet.cross_attention_dim), dtype)
+    ctx = jnp.zeros((1, tokens, preset.unet.cross_attention_dim), dtype)
     img = jnp.zeros((1, preset.image_size, preset.image_size, 3), dtype)
     ids = jnp.zeros((1, preset.text.max_length), jnp.int32)
 
@@ -194,7 +287,11 @@ def init_random_params(preset: ModelPreset, dtype=jnp.float32, seed: int = 0) ->
     unet_params = jax.jit(lambda k: unet.init(k, latent, 0, ctx)["params"])(k_unet)
     vae_params = jax.jit(lambda k: vae.init(k, img)["params"])(k_vae)
     text_params = jax.jit(lambda k: text.init(k, ids)["params"])(k_text)
-    return {"unet": unet_params, "vae": vae_params, "text": text_params}
+    out = {"unet": unet_params, "vae": vae_params, "text": text_params}
+    if preset.text2 is not None:
+        text2 = CLIPTextEncoder(preset.text2, dtype=dtype)
+        out["text2"] = jax.jit(lambda k: text2.init(k, ids)["params"])(k_text2)
+    return out
 
 
 @functools.lru_cache(maxsize=4)

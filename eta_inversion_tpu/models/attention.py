@@ -12,7 +12,7 @@ as exercised by the reference's patched forward
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -180,6 +180,9 @@ class Transformer2D(nn.Module):
     self_meta: AttnLayerMeta
     cross_meta: AttnLayerMeta
     depth: int = 1
+    # (self, cross) meta pairs for inner blocks 1..depth-1 (SDXL depth>1
+    # stages); block 0 uses self_meta/cross_meta
+    extra_metas: Tuple[Tuple[AttnLayerMeta, AttnLayerMeta], ...] = ()
     groups: int = 32
     use_linear: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -199,8 +202,10 @@ class Transformer2D(nn.Module):
             x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
         for d in range(self.depth):
-            x = BasicTransformerBlock(self.heads, self.head_dim, self.self_meta,
-                                      self.cross_meta, self.dtype,
+            sm, cm = (self.self_meta, self.cross_meta) if d == 0 \
+                else self.extra_metas[d - 1]
+            x = BasicTransformerBlock(self.heads, self.head_dim, sm, cm,
+                                      self.dtype,
                                       name=f"blocks_{d}")(x, context, hooks,
                                                           dup=dup and d == 0)
         if self.use_linear:

@@ -28,6 +28,13 @@ class CLIPTextConfig:
     max_length: int = 77
     # openai CLIP uses quick-gelu
     act: str = "quick_gelu"
+    # SDXL convention: conditioning uses the PENULTIMATE layer's hidden states
+    # (HF hidden_states[-2], before the final layer and final_layer_norm);
+    # the final layer + norm still exist (and run for the pooled output)
+    penultimate: bool = False
+    # text_projection dim (CLIPTextModelWithProjection); with penultimate set
+    # the encoder returns (penultimate_hidden, projected_pooled)
+    projection_dim: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,7 +104,12 @@ class CLIPTextEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids):
-        """input_ids: (B, 77) int32 -> (B, 77, hidden) final hidden states."""
+        """input_ids: (B, 77) int32 -> (B, 77, hidden) final hidden states.
+
+        With cfg.penultimate, the conditioning output is the hidden state
+        BEFORE the last layer (HF hidden_states[-2], un-normed — the SDXL
+        convention); with cfg.projection_dim, additionally returns the
+        projected pooled eos-token embedding from the FINAL normed states."""
         cfg = self.config
         x = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
                      name="token_embedding")(input_ids)
@@ -105,11 +117,23 @@ class CLIPTextEncoder(nn.Module):
                          nn.initializers.normal(0.01),
                          (cfg.max_length, cfg.hidden_size))
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
+        penult = x
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                penult = x
             x = CLIPLayer(cfg.num_heads, causal=True, act=cfg.act, dtype=self.dtype,
                           name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x)
-        return x
+        hidden = penult if cfg.penultimate else x
+        if cfg.projection_dim is None:
+            return hidden
+        # pooled = eos-token row of the final normed states; our tokenizer
+        # puts eot at the argmax id (openai CLIP convention)
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+        pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)[:, 0]
+        proj = self.param("text_projection", nn.initializers.normal(0.02),
+                          (cfg.hidden_size, cfg.projection_dim))
+        return hidden, pooled.astype(self.dtype) @ proj.astype(self.dtype)
 
 
 class CLIPVisionEncoder(nn.Module):

@@ -44,6 +44,18 @@ class UNetConfig:
     norm_num_groups: int = 32
     # which down stages carry cross-attention transformers (SD1.x: all but last)
     attn_down: Tuple[bool, ...] = (True, True, True, False)
+    # SDXL convention: per-stage transformer DEPTH (BasicTransformerBlock count
+    # per Transformer2D; the mid block uses the last entry).  None = depth 1
+    # everywhere (SD1.x/SD2.x).
+    transformer_depth: Optional[Tuple[int, ...]] = None
+    # SDXL `addition_embed_type="text_time"`: the time embedding is augmented
+    # with a projection of [pooled text embedding; sinusoidal micro-cond ids].
+    # The engine packs (pooled, time_ids) into context row `context_tokens`
+    # (see models/__init__.py DiffusionModel.text_context_fn).
+    addition_embed: bool = False
+    addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280
+    context_tokens: int = 77  # cross-attention rows of the packed context
 
     @property
     def num_stages(self) -> int:
@@ -59,44 +71,57 @@ class UNetConfig:
             return ch // self.head_dim
         return self.num_heads
 
+    def depth_for(self, stage: int) -> int:
+        if self.transformer_depth is None:
+            return 1
+        return self.transformer_depth[stage]
 
-def build_attn_metas(config: UNetConfig) -> Dict[str, Tuple[AttnLayerMeta, AttnLayerMeta]]:
+
+def build_attn_metas(config: UNetConfig) -> Dict[str, Tuple[AttnLayerMeta, ...]]:
     """Static attention-layer metadata in forward-execution order.
 
-    Keys: f"down_{i}_{j}", "mid", f"up_{i}_{j}".  Self-attention layer numbering
-    matches the reference's masactrl convention (16 self layers; up blocks start
-    at index 7, /root/reference/modules/utils/masactrl.py:20-39).
+    Keys: f"down_{i}_{j}", "mid", f"up_{i}_{j}" — one entry per Transformer2D,
+    holding a flat (self, cross) meta pair per inner transformer block:
+    depth 1 (SD1.x/2.x) gives 2 metas, SDXL depth-10 stages give 20.
+    Self-attention layer numbering matches the reference's masactrl convention
+    (16 self layers on SD1.x; up blocks start at index 7,
+    /root/reference/modules/utils/masactrl.py:20-39).
     """
-    metas: Dict[str, Tuple[AttnLayerMeta, AttnLayerMeta]] = {}
+    metas: Dict[str, Tuple[AttnLayerMeta, ...]] = {}
     idx = 0
     self_idx = 0
     cross_idx = 0
 
-    def add(key: str, place: str, res: int, heads: int):
+    def add(key: str, place: str, res: int, heads: int, depth: int):
         nonlocal idx, self_idx, cross_idx
-        sm = AttnLayerMeta(idx, False, place, res, self_idx, -1, heads)
-        idx += 1
-        cm = AttnLayerMeta(idx, True, place, res, -1, cross_idx, heads)
-        idx += 1
-        self_idx += 1
-        cross_idx += 1
-        metas[key] = (sm, cm)
+        ms = []
+        for _ in range(depth):
+            ms.append(AttnLayerMeta(idx, False, place, res, self_idx, -1, heads))
+            idx += 1
+            ms.append(AttnLayerMeta(idx, True, place, res, -1, cross_idx, heads))
+            idx += 1
+            self_idx += 1
+            cross_idx += 1
+        metas[key] = tuple(ms)
 
     res = config.sample_size
     for i in range(config.num_stages):
         if config.attn_down[i]:
             for j in range(config.layers_per_block):
                 add(f"down_{i}_{j}", "down", res,
-                    config.heads_for(config.block_out_channels[i]))
+                    config.heads_for(config.block_out_channels[i]),
+                    config.depth_for(i))
         if i < config.num_stages - 1:
             res //= 2
-    add("mid", "mid", res, config.heads_for(config.block_out_channels[-1]))
+    add("mid", "mid", res, config.heads_for(config.block_out_channels[-1]),
+        config.depth_for(config.num_stages - 1))
     for i in reversed(range(config.num_stages)):
         if config.attn_down[i]:
             for j in range(config.layers_per_block + 1):
                 # up block numbering in module tree is reversed stage order
                 add(f"up_{config.num_stages - 1 - i}_{j}", "up", res,
-                    config.heads_for(config.block_out_channels[i]))
+                    config.heads_for(config.block_out_channels[i]),
+                    config.depth_for(i))
         if i > 0:
             res *= 2
     return metas
@@ -121,7 +146,20 @@ class UNet2DCondition(nn.Module):
         AttnHooks.cfg_prefix_safe)."""
         cfg = self.config
         metas = build_attn_metas(cfg)
-        ctx = encoder_hidden_states.astype(self.dtype)
+        if cfg.addition_embed:
+            # SDXL text_time conditioning: the engine packs the pooled text
+            # embedding and the 6 micro-conditioning ids into one extra
+            # context row (models/__init__.py text_context_fn); rows beyond
+            # context_tokens never reach cross-attention.
+            assert not cfg_shared_prefix, \
+                "added-cond rows differ before the first cross-attention"
+            assert encoder_hidden_states.shape[0] == sample.shape[0]
+            add_row = encoder_hidden_states[:, cfg.context_tokens]
+            ctx = encoder_hidden_states[:, :cfg.context_tokens].astype(self.dtype)
+            pooled = add_row[:, :cfg.addition_pooled_dim]
+            time_ids = add_row[:, cfg.addition_pooled_dim:cfg.addition_pooled_dim + 6]
+        else:
+            ctx = encoder_hidden_states.astype(self.dtype)
 
         t = jnp.asarray(timesteps)
         if t.ndim == 0:
@@ -129,6 +167,18 @@ class UNet2DCondition(nn.Module):
         temb = timestep_embedding(t, cfg.block_out_channels[0])
         temb = TimestepEmbedding(cfg.time_embed_dim, self.dtype, name="time_embedding")(
             temb.astype(self.dtype))
+        if cfg.addition_embed:
+            # diffusers UNet2DConditionModel text_time path: sinusoidal embed
+            # of each of the 6 ids (same flip_sin_to_cos=True, shift=0 table
+            # as the main timestep), concatenated after the pooled embedding
+            b = time_ids.shape[0]
+            t_add = timestep_embedding(time_ids.reshape(-1).astype(jnp.float32),
+                                       cfg.addition_time_embed_dim)
+            aug = jnp.concatenate(
+                [pooled.astype(jnp.float32), t_add.reshape(b, -1)], axis=-1)
+            temb = temb + TimestepEmbedding(cfg.time_embed_dim, self.dtype,
+                                            name="add_embedding")(
+                aug.astype(self.dtype))
 
         x = sample.astype(self.dtype)
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=((1, 1), (1, 1)),
@@ -138,12 +188,15 @@ class UNet2DCondition(nn.Module):
 
         def transformer(key: str, x, name: str):
             nonlocal dup_pending, temb
-            sm, cm = metas[key]
+            ms = metas[key]
             ch = x.shape[-1]
             dup = dup_pending
             dup_pending = False
             heads = cfg.heads_for(ch)
-            x = Transformer2D(heads, ch // heads, sm, cm,
+            x = Transformer2D(heads, ch // heads, ms[0], ms[1],
+                              depth=len(ms) // 2,
+                              extra_metas=tuple((ms[2 * d], ms[2 * d + 1])
+                                                for d in range(1, len(ms) // 2)),
                               groups=cfg.norm_num_groups, dtype=self.dtype,
                               use_linear=cfg.use_linear_projection,
                               name=name)(x, ctx, hooks, dup=dup)

@@ -137,7 +137,8 @@ def _resnet(dst: Dict, tp: str, fp: Tuple[str, ...], time_emb: bool = True,
         _conv(dst, f"{tp}.conv_shortcut", fp + ("conv_shortcut",))
 
 
-def _transformer(dst: Dict, tp: str, fp: Tuple[str, ...], linear: bool = False):
+def _transformer(dst: Dict, tp: str, fp: Tuple[str, ...], linear: bool = False,
+                 depth: int = 1):
     _norm(dst, f"{tp}.norm", fp + ("norm",))
     if linear:  # SD2.x use_linear_projection: (inner, in) nn.Linear weights
         _dense(dst, f"{tp}.proj_in", fp + ("proj_in",))
@@ -145,18 +146,19 @@ def _transformer(dst: Dict, tp: str, fp: Tuple[str, ...], linear: bool = False):
     else:
         _conv(dst, f"{tp}.proj_in", fp + ("proj_in",))
         _conv(dst, f"{tp}.proj_out", fp + ("proj_out",))
-    b = f"{tp}.transformer_blocks.0"
-    fb = fp + ("blocks_0",)
-    _norm(dst, f"{b}.norm1", fb + ("norm1",))
-    _norm(dst, f"{b}.norm2", fb + ("norm2",))
-    _norm(dst, f"{b}.norm3", fb + ("norm3",))
-    for attn in ("attn1", "attn2"):
-        _dense(dst, f"{b}.{attn}.to_q", fb + (attn, "to_q"), bias=False)
-        _dense(dst, f"{b}.{attn}.to_k", fb + (attn, "to_k"), bias=False)
-        _dense(dst, f"{b}.{attn}.to_v", fb + (attn, "to_v"), bias=False)
-        _dense(dst, f"{b}.{attn}.to_out.0", fb + (attn, "to_out"))
-    _dense(dst, f"{b}.ff.net.0.proj", fb + ("ff", "geglu_proj"))
-    _dense(dst, f"{b}.ff.net.2", fb + ("ff", "proj_out"))
+    for d in range(depth):
+        b = f"{tp}.transformer_blocks.{d}"
+        fb = fp + (f"blocks_{d}",)
+        _norm(dst, f"{b}.norm1", fb + ("norm1",))
+        _norm(dst, f"{b}.norm2", fb + ("norm2",))
+        _norm(dst, f"{b}.norm3", fb + ("norm3",))
+        for attn in ("attn1", "attn2"):
+            _dense(dst, f"{b}.{attn}.to_q", fb + (attn, "to_q"), bias=False)
+            _dense(dst, f"{b}.{attn}.to_k", fb + (attn, "to_k"), bias=False)
+            _dense(dst, f"{b}.{attn}.to_v", fb + (attn, "to_v"), bias=False)
+            _dense(dst, f"{b}.{attn}.to_out.0", fb + (attn, "to_out"))
+        _dense(dst, f"{b}.ff.net.0.proj", fb + ("ff", "geglu_proj"))
+        _dense(dst, f"{b}.ff.net.2", fb + ("ff", "proj_out"))
 
 
 def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]]:
@@ -173,7 +175,8 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
             if cfg.attn_down[i]:
                 _transformer(m, f"down_blocks.{i}.attentions.{j}",
                              (f"down_{i}_attn_{j}",),
-                             linear=cfg.use_linear_projection)
+                             linear=cfg.use_linear_projection,
+                             depth=cfg.depth_for(i))
         if i < cfg.num_stages - 1:
             _conv(m, f"down_blocks.{i}.downsamplers.0.conv",
                   (f"down_{i}_downsample", "conv"))
@@ -182,7 +185,8 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
     _resnet(m, "mid_block.resnets.0", ("mid_resnet_0",))
     _resnet(m, "mid_block.resnets.1", ("mid_resnet_1",))
     _transformer(m, "mid_block.attentions.0", ("mid_attn",),
-                 linear=cfg.use_linear_projection)
+                 linear=cfg.use_linear_projection,
+                 depth=cfg.depth_for(cfg.num_stages - 1))
     # up path: every resnet concatenates a skip -> always has a shortcut
     for up_i, stage in enumerate(reversed(range(cfg.num_stages))):
         for j in range(cfg.layers_per_block + 1):
@@ -191,10 +195,15 @@ def unet_key_map(cfg: UNetConfig) -> Dict[str, Tuple[Tuple[str, ...], Transform]
             if cfg.attn_down[stage]:
                 _transformer(m, f"up_blocks.{up_i}.attentions.{j}",
                              (f"up_{up_i}_attn_{j}",),
-                             linear=cfg.use_linear_projection)
+                             linear=cfg.use_linear_projection,
+                             depth=cfg.depth_for(stage))
         if stage > 0:
             _conv(m, f"up_blocks.{up_i}.upsamplers.0.conv",
                   (f"up_{up_i}_upsample", "conv"))
+    if cfg.addition_embed:
+        # SDXL text_time added conditioning MLP
+        _dense(m, "add_embedding.linear_1", ("add_embedding", "linear_1"))
+        _dense(m, "add_embedding.linear_2", ("add_embedding", "linear_2"))
     _norm(m, "conv_norm_out", ("conv_norm_out",))
     _conv(m, "conv_out", ("conv_out",))
     return m
@@ -270,6 +279,10 @@ def clip_text_key_map(cfg: CLIPTextConfig) -> Dict[str, Tuple[Tuple[str, ...], T
         _dense(m, f"{lp}.mlp.fc1", fp + ("fc1",))
         _dense(m, f"{lp}.mlp.fc2", fp + ("fc2",))
     _norm(m, f"{p}.final_layer_norm", ("final_layer_norm",))
+    if cfg.projection_dim is not None:
+        # CLIPTextModelWithProjection (SDXL text_encoder_2): bias-free
+        # projection stored at the top level, outside text_model
+        m["text_projection.weight"] = (("text_projection",), DENSE)
     return m
 
 
@@ -341,4 +354,8 @@ def load_pretrained_params(weights_dir: str, preset, dtype=np.float32
     vae = map_state_dict(load_dir("vae"), vae_key_map(preset.vae), np_dtype)
     text = map_state_dict(load_dir("text_encoder"), clip_text_key_map(preset.text),
                           np_dtype)
-    return {"unet": unet, "vae": vae, "text": text}
+    out = {"unet": unet, "vae": vae, "text": text}
+    if getattr(preset, "text2", None) is not None:
+        out["text2"] = map_state_dict(load_dir("text_encoder_2"),
+                                      clip_text_key_map(preset.text2), np_dtype)
+    return out

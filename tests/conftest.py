@@ -50,6 +50,16 @@ def tiny21_model():
 
 
 @pytest.fixture(scope="session")
+def tinyxl_model():
+    """SDXL-geometry homologue: per-stage transformer depth, dual text towers
+    with a packed added-cond context row, text_time added embedding."""
+    from eta_inversion_tpu.models import load_diffusion_model
+
+    model, (pre, post) = load_diffusion_model("tinyxl")
+    return model
+
+
+@pytest.fixture(scope="session")
 def test_image():
     """Deterministic 16x16 synthetic test image in [-1, 1] NHWC."""
     import numpy as np

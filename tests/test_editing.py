@@ -431,3 +431,13 @@ def test_sd2_geometry_flagship_edit(tiny21_model, test_image):
     b = run_edit("ptp", tiny21_model, test_image, inverter_name="etainv")
     assert a is not None and np.isfinite(a)
     assert a == b
+
+
+def test_sdxl_geometry_flagship_edit(tinyxl_model, test_image):
+    """Third model family (SDXL geometry: depth-2 transformers, dual text
+    towers, text_time added conditioning): the flagship etainv+ptp edit runs
+    end-to-end through the packed 78-row context and is deterministic."""
+    a = run_edit("ptp", tinyxl_model, test_image, inverter_name="etainv")
+    b = run_edit("ptp", tinyxl_model, test_image, inverter_name="etainv")
+    assert a is not None and np.isfinite(a)
+    assert a == b

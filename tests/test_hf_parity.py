@@ -262,3 +262,56 @@ def test_sd21_unet_keymap_key_set_and_linear_projections():
     assert len(proj_keys) == 32  # 16 transformers x in/out
     for k in proj_keys:
         assert m[k][1] is DENSE, k
+
+
+# ---------------------------------------------------------------------------
+# 5: SDXL (third model family) key maps
+# ---------------------------------------------------------------------------
+
+def test_sdxl_text2_keymap_matches_transformers_projection_state_dict():
+    """SDXL's second tower is a CLIPTextModelWithProjection (OpenCLIP bigG
+    repackaged: 32 layers + top-level bias-free text_projection); its state
+    dict is the oracle for clip_text_key_map(SDXL.text2).  Key NAMES don't
+    depend on widths, so the oracle uses tiny dims with the real layer count."""
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    from eta_inversion_tpu.models import SDXL
+
+    hf = CLIPTextModelWithProjection(HFConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=SDXL.text2.num_layers, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu", projection_dim=32))
+    hf_keys = {k for k in hf.state_dict() if not k.endswith("position_ids")}
+    ours = set(clip_text_key_map(SDXL.text2))
+    assert ours == hf_keys, (
+        f"missing from map: {sorted(hf_keys - ours)[:5]}; "
+        f"extra in map: {sorted(ours - hf_keys)[:5]}")
+
+
+def test_sdxl_unet_keymap_depth_and_added_cond_keys():
+    """The SDXL UNet key map must carry per-depth transformer blocks
+    (transformer_blocks.0..9 in the depth-10 stages) and the text_time
+    added-conditioning MLP (add_embedding.linear_1/2), and must NOT invent
+    attention keys for the attention-free first stage."""
+    from eta_inversion_tpu.models import SDXL
+
+    m = unet_key_map(SDXL.unet)
+    # depth-10 mid block: all ten inner transformer blocks mapped
+    for d in range(10):
+        assert f"mid_block.attentions.0.transformer_blocks.{d}.attn1.to_q.weight" in m
+    assert "mid_block.attentions.0.transformer_blocks.10.attn1.to_q.weight" not in m
+    # depth-2 stage 1, depth-10 stage 2
+    assert "down_blocks.1.attentions.0.transformer_blocks.1.attn2.to_k.weight" in m
+    assert "down_blocks.1.attentions.0.transformer_blocks.2.attn1.to_q.weight" not in m
+    assert "down_blocks.2.attentions.1.transformer_blocks.9.ff.net.2.weight" in m
+    # no attention at full resolution (attn_down[0] = False)
+    assert not any(k.startswith("down_blocks.0.attentions") for k in m)
+    assert not any(k.startswith("up_blocks.2.attentions") for k in m)
+    # added-cond MLP present, mapped as linears
+    from eta_inversion_tpu.models.weights import DENSE
+    assert m["add_embedding.linear_1.weight"][1] is DENSE
+    assert m["add_embedding.linear_2.weight"] == (("add_embedding", "linear_2",
+                                                   "kernel"), DENSE)
+    # SD1.5/2.1 maps must NOT carry added-cond keys
+    assert "add_embedding.linear_1.weight" not in unet_key_map(SD15.unet)

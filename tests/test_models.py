@@ -198,3 +198,57 @@ def test_tiny21_unet_forward_and_store(tiny21_model):
         assert v.shape[1] == heads_by_key[k], (k, v.shape)
         assert v.shape[0] == 2 and v.shape[-1] == 77
     np.testing.assert_allclose(np.asarray(eps), np.asarray(eps2), rtol=1e-5, atol=1e-5)
+
+
+def test_sdxl_attn_topology():
+    """SDXL (third model family): 3-stage UNet with per-stage transformer
+    DEPTH (1/2/10 — diffusers `transformer_depth=[1, 2, 10]` for
+    stabilityai/stable-diffusion-xl-base-1.0) -> 70 transformer blocks = 140
+    attention layers; no attention at full res; 2048-d dual-tower context."""
+    from eta_inversion_tpu.models import SDXL
+
+    metas = build_attn_metas(SDXL.unet)
+    flat = sorted((m for pair in metas.values() for m in pair),
+                  key=lambda m: m.idx)
+    assert len(flat) == 140 and sum(m.is_cross for m in flat) == 70
+    # fixed head_dim 64: 640ch -> 10 heads at 64x64, 1280ch -> 20 at 32x32
+    assert {m.res: m.heads for m in flat} == {64: 10, 32: 20}
+    # store keys (idx-suffixed) stay globally unique across depth>1 blocks
+    assert len({m.store_key for m in flat}) == 140
+    # metas are emitted in forward-execution order with consecutive idx
+    assert [m.idx for m in flat] == list(range(140))
+    assert SDXL.unet.cross_attention_dim == 2048
+    assert SDXL.text.hidden_size + SDXL.text2.hidden_size == 2048
+    assert SDXL.text.penultimate and SDXL.text2.projection_dim == 1280
+    assert SDXL.vae.scaling_factor == 0.13025
+
+
+def test_tinyxl_unet_forward_and_store(tinyxl_model):
+    """SDXL code paths (depth-2 transformers, added-cond embedding, packed
+    dual-tower context): shapes are right and depth>1 blocks sow under
+    distinct store keys."""
+    model = tinyxl_model
+    ctx1 = model.encode_text(model.tokenizer(["a cat"]))
+    assert ctx1.shape == (1, 78, 32)  # 77 tokens + packed (pooled, time_ids) row
+    ctx = jnp.tile(ctx1, (2, 1, 1))
+    z = jnp.zeros((2, 8, 8, 4))
+    eps = model.apply_unet(z, 10, ctx)
+    assert eps.shape == (2, 8, 8, 4)
+
+    class StoreAll(AttnHooks):
+        def store(self, meta):
+            return meta.is_cross
+
+    eps2, store = model.apply_unet(z, 10, ctx, hooks=StoreAll(),
+                                   collect_store=True)
+    cross = [m for pair in model.attn_metas.values() for m in pair if m.is_cross]
+    assert set(store) == {m.store_key for m in cross} and len(store) == len(cross)
+    for v in store.values():
+        # cross-attention runs on the 77 sliced tokens, not the packed row
+        assert v.shape[-1] == 77
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(eps2), rtol=1e-5,
+                               atol=1e-5)
+    # the added-cond row must influence the prediction (pooled conditioning)
+    ctx_zero_row = ctx.at[:, 77].set(0.0)
+    eps3 = model.apply_unet(z, 10, ctx_zero_row)
+    assert float(jnp.abs(eps - eps3).max()) > 1e-6

@@ -381,3 +381,55 @@ def test_clip_similarity_formulas_match_torch():
     got = m.forward(target_image=tgt_img, target_prompt="tgt")
     assert float(got) == pytest.approx(
         float(torch.dot(t["txt_src"], t["txt_tgt"])), abs=1e-6)
+
+
+def test_transformer2d_depth2_matches_torch():
+    """SDXL variant: transformer_depth > 1 — the inner BasicTransformerBlocks
+    chain inside one proj_in/proj_out sandwich, each with its own params
+    (diffusers transformer_blocks.0/1)."""
+    from eta_inversion_tpu.models.attention import Transformer2D
+    from eta_inversion_tpu.ops.attn_ctrl import AttnLayerMeta
+
+    heads, hd = 2, 16
+    inner = heads * hd
+
+    def meta(i, cross, si, ci):
+        return AttnLayerMeta(idx=i, is_cross=cross, place="down", res=8,
+                             self_idx=si, cross_idx=ci, heads=heads)
+
+    model = Transformer2D(heads=heads, head_dim=hd,
+                          self_meta=meta(0, False, 0, -1),
+                          cross_meta=meta(1, True, -1, 0),
+                          depth=2,
+                          extra_metas=((meta(2, False, 1, -1),
+                                        meta(3, True, -1, 1)),),
+                          groups=8, use_linear=True)
+    rs = np.random.RandomState(11)
+    x = rs.randn(2, 8, 8, inner).astype(np.float32)
+    ctx = rs.randn(2, 7, 24).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(13), jnp.asarray(x),
+                        jnp.asarray(ctx))["params"]
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(ctx)))
+    assert "blocks_1" in params  # depth-2: second block has its own params
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    tx = _nhwc_to_nchw(x)
+    tctx = _t(ctx)
+    residual = tx
+    h = F.group_norm(tx, num_groups=8, weight=_t(p["norm"]["scale"]),
+                     bias=_t(p["norm"]["bias"]), eps=1e-6)
+    b = h.shape[0]
+    h = h.permute(0, 2, 3, 1).reshape(b, 64, inner)
+    h = F.linear(h, _lin_w(p["proj_in"]["kernel"]), _t(p["proj_in"]["bias"]))
+    for name in ("blocks_0", "blocks_1"):
+        bp = p[name]
+        h = h + _torch_attention(bp["attn1"], _torch_ln(bp["norm1"], h),
+                                 _torch_ln(bp["norm1"], h), heads)
+        h = h + _torch_attention(bp["attn2"], _torch_ln(bp["norm2"], h), tctx,
+                                 heads)
+        h = h + _torch_geglu_ff(bp["ff"], _torch_ln(bp["norm3"], h))
+    h = F.linear(h, _lin_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+    h = h.reshape(b, 8, 8, inner).permute(0, 3, 1, 2)
+    want = (h + residual).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

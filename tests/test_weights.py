@@ -10,7 +10,7 @@ import jax
 import numpy as np
 import pytest
 
-from eta_inversion_tpu.models import TINY, TINY21, init_random_params
+from eta_inversion_tpu.models import TINY, TINY21, TINYXL, init_random_params
 from eta_inversion_tpu.models.weights import (
     clip_text_key_map,
     map_state_dict,
@@ -54,14 +54,17 @@ def test_safetensors_roundtrip(tmp_path):
         np.testing.assert_array_equal(back[k], tensors[k])
 
 
-@pytest.mark.parametrize("preset", [TINY, TINY21], ids=lambda p: p.name)
-@pytest.mark.parametrize("component", ["unet", "vae", "text"])
+@pytest.mark.parametrize("preset", [TINY, TINY21, TINYXL], ids=lambda p: p.name)
+@pytest.mark.parametrize("component", ["unet", "vae", "text", "text2"])
 def test_key_map_roundtrip(component, preset, tmp_path):
+    if component == "text2" and preset.text2 is None:
+        pytest.skip("single text tower preset")
     params = init_random_params(preset)[component]
     key_map = {
         "unet": unet_key_map(preset.unet),
         "vae": vae_key_map(preset.vae),
         "text": clip_text_key_map(preset.text),
+        "text2": clip_text_key_map(preset.text2) if preset.text2 else None,
     }[component]
 
     # every flax param must be covered by the mapping (no silent gaps)
