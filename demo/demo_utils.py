@@ -63,7 +63,7 @@ def build_app():
                 image = gr.Image(label="Source image")
                 source_prompt = gr.Textbox(label="Source prompt")
                 target_prompt = gr.Textbox(label="Target prompt")
-                model = gr.Dropdown(["sd15", "sd21", "sdxl", "tiny", "tiny21", "tinyxl"], value="sd15", label="Model")
+                model = gr.Dropdown(["sd15", "sd21", "sd21v", "sdxl", "tiny", "tiny21", "tinyxl", "tinyv"], value="sd15", label="Model")
                 steps = gr.Slider(1, 100, value=50, step=1, label="Steps")
                 inv_method = gr.Dropdown(get_inversion_methods(), value="etainv",
                                          label="Inversion method")

@@ -78,7 +78,7 @@ def render_page(model_default: str, result: str = "") -> bytes:
             for v in values)
 
     return PAGE.format(
-        models=options(["tiny", "tiny21", "tinyxl", "sd15", "sd21", "sdxl"], model_default),
+        models=options(["tiny", "tiny21", "tinyxl", "tinyv", "sd15", "sd21", "sd21v", "sdxl"], model_default),
         inverters=options(INVERTERS, "etainv"),
         editors=options(EDITORS, "ptp"),
         result=result,
@@ -188,7 +188,7 @@ def serve(port: int = 7860, model: str = "tiny", manager: EditorManager = None):
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--port", type=int, default=7860)
-    ap.add_argument("--model", default="tiny", choices=["tiny", "tiny21", "tinyxl", "sd15", "sd21", "sdxl"])
+    ap.add_argument("--model", default="tiny", choices=["tiny", "tiny21", "tinyxl", "tinyv", "sd15", "sd21", "sd21v", "sdxl"])
     args = ap.parse_args()
     server = serve(args.port, args.model)
     print(f"demo at http://127.0.0.1:{args.port}  (model default: {args.model})")

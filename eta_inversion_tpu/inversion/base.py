@@ -162,6 +162,23 @@ class DiffusionInversion:
         """CFG combination; override point for proximal guidance etc."""
         return eps_u + guidance_scale * (eps_c - eps_u)
 
+    def to_eps(self, out, x, t):
+        """Convert a raw UNet output to EPSILON space under the schedule's
+        prediction_type, so every inverter/editor keeps operating on noise
+        predictions regardless of the model family's parameterization.
+
+        v_prediction (SD2.x 768-v checkpoints): eps = sqrt(a_t)*v +
+        sqrt(1-a_t)*x_t — the `pred_epsilon` diffusers' DDIMScheduler.step
+        derives for prediction_type="v_prediction"; conversion commutes with
+        CFG (affine with coefficients summing to 1), so doing it at the UNet
+        boundary is exactly equivalent to diffusers' post-CFG handling."""
+        if self.schedule.config.prediction_type != "v_prediction":
+            return out
+        a = self.schedule.alpha_at(t).astype(jnp.float32)
+        a = a.reshape(a.shape + (1,) * (out.ndim - a.ndim))
+        return (jnp.sqrt(a) * out.astype(jnp.float32)
+                + jnp.sqrt(1.0 - a) * x.astype(jnp.float32)).astype(out.dtype)
+
     def predict_noise(self, params, latent, t, context, guidance_scale,
                       hooks=None, collect_store=False, is_fwd=False, inp=None,
                       force_full_cfg=False):
@@ -192,12 +209,15 @@ class DiffusionInversion:
             and not force_full_cfg
         if guidance_scale is None:
             eps, vars_ = unet(latent, context)
+            eps = self.to_eps(eps, latent, t)
         elif scalar_gs and guidance_scale == 0:
             n = context.shape[0] // 2
             eps, vars_ = unet(latent, context[:n])
+            eps = self.to_eps(eps, latent, t)
         elif scalar_gs and guidance_scale == 1:
             n = context.shape[0] // 2
             eps, vars_ = unet(latent, context[n:])
+            eps = self.to_eps(eps, latent, t)
         else:
             if latent.shape[0] * 2 == context.shape[0]:
                 if self._cfg_prefix_ok(hooks):
@@ -212,7 +232,13 @@ class DiffusionInversion:
                 assert latent.shape[0] == context.shape[0]
                 eps_all, vars_ = unet(latent, context)
             n = eps_all.shape[0] // 2
-            eps_u, eps_c = eps_all[:n], eps_all[n:]
+            # v-pred conversion happens BEFORE combine_guidance so overrides
+            # (proximal shrinkage etc.) always see epsilon-space deltas; each
+            # guidance half converts against ITS latent rows
+            x_u, x_c = (latent[:n], latent[n:]) \
+                if latent.shape[0] == 2 * n else (latent, latent)
+            eps_u = self.to_eps(eps_all[:n], x_u, t)
+            eps_c = self.to_eps(eps_all[n:], x_c, t)
             eps = self.combine_guidance(eps_u, eps_c, guidance_scale, latent, t, inp,
                                         is_fwd=is_fwd)
         if vars_ is not None:

@@ -88,6 +88,8 @@ class DDPMInversion(DiffusionInversion):
                     jnp.concatenate([t, t]), ctx)
                 eps_u, eps_c = eps_all[: chunk * b], eps_all[chunk * b:]
                 eps = eps_u + gs * (eps_c - eps_u)
+                # v-pred conversion commutes with the affine CFG combine
+                eps = self.to_eps(eps, xt, t)
                 eps = eps.reshape((chunk, b) + latent.shape[1:])
                 xtm1_new, z = jax.vmap(
                     lambda e, t_, a, bb: ddpm_inverse_step(self.schedule, e, t_, a, bb)

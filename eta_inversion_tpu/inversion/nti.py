@@ -56,7 +56,8 @@ class NullTextInversion(DiffusionInversion):
             latent_prev_all = jnp.flip(latents, axis=0)[1:]  # step i target
 
             def unet(lat, ctx, t):
-                return self.model.unet.apply({"params": params["unet"]}, lat, t, ctx)
+                out = self.model.unet.apply({"params": params["unet"]}, lat, t, ctx)
+                return self.to_eps(out, lat, t)
 
             def outer(carry, inp):
                 latent_cur, uncond = carry

@@ -37,6 +37,10 @@ class ModelPreset:
     # penultimate states are concatenated onto the first tower's along the
     # feature axis and the pooled embedding feeds the added-cond time embed
     text2: Optional[CLIPTextConfig] = None
+    # noise schedule (incl. prediction_type: SD2.x 768-v checkpoints are
+    # v-prediction; the engine converts to epsilon at the UNet boundary,
+    # inversion/base.py to_eps)
+    schedule: ScheduleConfig = ScheduleConfig()
 
 
 SD15 = ModelPreset(
@@ -156,9 +160,27 @@ TINYXL = ModelPreset(
                          act="gelu", penultimate=True, projection_dim=16),
 )
 
+# Stable Diffusion 2.1 at 768px: the actual stabilityai/stable-diffusion-2-1
+# checkpoint — same SD2.x geometry as `sd21` but 96x96 latents and
+# V-PREDICTION: the UNet predicts v = sqrt(a)*eps - sqrt(1-a)*x, converted to
+# epsilon at the engine boundary so all 10 inverters / 6 editors run unchanged.
+SD21V = ModelPreset(
+    name="sd21v",
+    image_size=768,
+    unet=dataclasses.replace(SD21.unet, sample_size=96),
+    vae=VAEConfig(),
+    text=SD21.text,
+    schedule=ScheduleConfig(prediction_type="v_prediction"),
+)
+
+# Tiny v-prediction homologue (tiny geometry + v-pred schedule) for the CPU suite.
+TINYV = dataclasses.replace(
+    TINY, name="tinyv", schedule=ScheduleConfig(prediction_type="v_prediction"))
+
 PRESETS: Dict[str, ModelPreset] = {"sd15": SD15, "tiny": TINY, "sd21": SD21,
                                    "tiny21": TINY21, "sdxl": SDXL,
-                                   "tinyxl": TINYXL}
+                                   "tinyxl": TINYXL, "sd21v": SD21V,
+                                   "tinyv": TINYV}
 
 
 class DiffusionModel:
@@ -308,7 +330,8 @@ def _cached_model(name: str, dtype_str: str, seed: int, weights_dir: Optional[st
     else:
         params = init_random_params(preset, dtype, seed)
         tokenizer = load_tokenizer(None, vocab_size=preset.text.vocab_size)
-    return DiffusionModel(preset, params, tokenizer, dtype=dtype)
+    return DiffusionModel(preset, params, tokenizer, dtype=dtype,
+                          schedule=preset.schedule)
 
 
 def load_diffusion_model(model: str = "sd15", dtype: str = "float32", seed: int = 0,

@@ -30,7 +30,7 @@ _ARGS = {
         flags=["--model"],
         type=str,
         default="sd15",
-        help="Model preset (sd15, sd21, sdxl, tiny, tiny21, tinyxl) or weights directory",
+        help="Model preset (sd15, sd21, sd21v, sdxl, tiny, tiny21, tinyxl, tinyv) or weights directory",
     ),
     "steps": dict(flags=["--steps"], type=int, default=50,
                   help="Number of diffusion steps"),
