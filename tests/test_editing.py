@@ -441,3 +441,21 @@ def test_sdxl_geometry_flagship_edit(tinyxl_model, test_image):
     b = run_edit("ptp", tinyxl_model, test_image, inverter_name="etainv")
     assert a is not None and np.isfinite(a)
     assert a == b
+
+
+@pytest.mark.parametrize("preset", ["tiny21", "tinyxl", "tinyv"])
+@pytest.mark.parametrize("combo", [("etainv", "ptp"), ("diffinv", "simple")])
+def test_family_golden(preset, combo, test_image, goldens):
+    """Golden regression for the non-SD1.x model families (SD2.x geometry,
+    SDXL geometry, v-prediction): flagship etainv+ptp and baseline
+    diffinv+simple pinned per family."""
+    from eta_inversion_tpu.models import load_diffusion_model
+
+    inverter, editor = combo
+    model, _ = load_diffusion_model(preset)
+    val = run_edit(editor, model, test_image, inverter_name=inverter)
+    key = f"fam_{preset}_{inverter}_{editor}"
+    if key in goldens:
+        assert val == pytest.approx(goldens[key], abs=1e-4)
+    else:
+        pytest.skip(f"no golden for {key}; run tests/gen_goldens.py")

@@ -259,3 +259,37 @@ def test_ring_attention_bf16_and_odd_axis():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("preset", ["tiny21", "tinyxl"])
+def test_new_family_flagship_partitions_on_mesh(preset):
+    """The second/third model families (SD2.x per-stage heads; SDXL depth>1
+    transformers + dual towers + packed added-cond context row) run the
+    flagship etainv+ptp batched edit under the (4,2) mesh with the batch
+    genuinely split over the data axis — incl. the packed (B, 78, D) SDXL
+    context surviving data sharding."""
+    from eta_inversion_tpu import load_editor, load_inverter
+    from eta_inversion_tpu.editing.batched import edit_batch
+
+    base, _ = load_diffusion_model(preset)
+    mesh = make_mesh(8, model_parallel=2)
+    dp = mesh.shape["data"]
+    params = shard_params(base.params, mesh)
+    model = DiffusionModel(base.preset, params, base.tokenizer,
+                           dtype=base.dtype, schedule=base.schedule_config)
+    rs = np.random.RandomState(5)
+    B = 4
+    images = jnp.asarray(rs.rand(B, 16, 16, 3).astype("float32") * 2 - 1)
+    cfg = {"is_replace_controller": True, "cross_replace_steps": 0.8,
+           "self_replace_steps": 0.5}
+    with mesh:
+        inv = load_inverter(model, "etainv", num_inference_steps=2,
+                            eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=2)
+        editor = load_editor(inv, "ptp")
+        res = edit_batch(editor, images, [f"a cat {i}" for i in range(B)],
+                         [f"a dog {i}" for i in range(B)], cfgs=[cfg] * B,
+                         inv_cfgs=[{"edit_word_idx": (1, 1)}] * B)
+        arr = res["image"]
+        assert "data" in _spec_names(arr), arr.sharding
+        assert {s.data.shape[0] for s in arr.addressable_shards} == {B // dp}
+        assert np.isfinite(np.asarray(arr)).all()
