@@ -53,7 +53,8 @@ def main():
     model, (pre, post) = load_diffusion_model(model_name, dtype="bfloat16")
 
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.rand(batch, 512, 512, 3).astype("float32") * 2 - 1)
+    size = model.image_size  # preset-native (512 for sd15/sd21, 1024 for sdxl)
+    images = jnp.asarray(rs.rand(batch, size, size, 3).astype("float32") * 2 - 1)
     srcs = [f"a cat sitting next to a mirror number {i}" for i in range(batch)]
     tgts = [f"a tiger sitting next to a mirror number {i}" for i in range(batch)]
 
@@ -131,7 +132,7 @@ def main():
           f"({60.0 / per_edit:.1f} PIE imgs/min/chip)", file=sys.stderr)
     tag = "" if model_name == "sd15" else f"_{model_name}"
     print(json.dumps({
-        "metric": f"{config}{tag}_{steps}step_512px_batch{batch}_s_per_edit",
+        "metric": f"{config}{tag}_{steps}step_{size}px_batch{batch}_s_per_edit",
         "value": round(per_edit, 4),
         "unit": "s/edit",
         "vs_baseline": round(baseline_s / per_edit, 4),
