@@ -461,6 +461,12 @@ class PtpController(Controller):
         return len(self.store_keys) > 0
 
     def init_state(self, engine, latent, contexts):
+        # store buffers are sized from the preset's STATIC layer geometry;
+        # a non-native input size would desync them from the sown shapes
+        assert latent.shape[1] == engine.model.latent_size, (
+            f"attention stores are sized for the preset's native latent "
+            f"geometry ({engine.model.latent_size}^2); got {latent.shape[1]}"
+            f" — preprocess inputs to the preset's image_size")
         # per-layer head counts: uniform on SD1.x, per-stage on SD2.x
         heads_by_key = {m.store_key: m.heads
                         for pair in engine.model.attn_metas.values() for m in pair}
@@ -588,6 +594,9 @@ class AttnStoreController(Controller):
         return _StoreHooks()
 
     def init_state(self, engine, latent, contexts):
+        assert latent.shape[1] == engine.model.latent_size, (
+            f"attention stores are sized for the preset's native latent "
+            f"geometry ({engine.model.latent_size}^2); got {latent.shape[1]}")
         heads_by_key = {m.store_key: m.heads
                         for pair in engine.model.attn_metas.values() for m in pair}
         state = {

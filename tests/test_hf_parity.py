@@ -315,3 +315,48 @@ def test_sdxl_unet_keymap_depth_and_added_cond_keys():
                                                    "kernel"), DENSE)
     # SD1.5/2.1 maps must NOT carry added-cond keys
     assert "add_embedding.linear_1.weight" not in unet_key_map(SD15.unet)
+
+
+def test_clip_penultimate_and_projection_match_transformers_numerically():
+    """SDXL text-tower semantics vs the real HF oracle: with identical weights
+    routed through the key map, our penultimate hidden states must equal
+    transformers' hidden_states[-2] (pre-final-layer, un-normed) and our
+    projected pooled output must equal CLIPTextModelWithProjection's
+    text_embeds (final LN -> eos token -> bias-free projection)."""
+    import torch
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    from eta_inversion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+
+    cfg = CLIPTextConfig(vocab_size=120, hidden_size=64, num_layers=3,
+                         num_heads=4, max_length=16, act="gelu",
+                         penultimate=True, projection_dim=48)
+    hf = CLIPTextModelWithProjection(HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=4 * cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_length, hidden_act="gelu",
+        projection_dim=cfg.projection_dim,
+        # our tokenizer convention: eot = argmax id; give HF the same rule
+        eos_token_id=cfg.vocab_size - 1))
+    hf.eval()
+
+    state = {k: v.numpy() for k, v in hf.state_dict().items()
+             if not k.endswith("position_ids")}
+    params = map_state_dict(state, clip_text_key_map(cfg))
+    model = CLIPTextEncoder(cfg)
+
+    rs = np.random.RandomState(17)
+    ids = rs.randint(0, cfg.vocab_size - 1, (2, cfg.max_length)).astype(np.int32)
+    ids[:, 5] = cfg.vocab_size - 1  # eot token at a fixed position
+    hidden, pooled = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(ids))
+    with torch.no_grad():
+        out = hf(input_ids=torch.from_numpy(ids.astype(np.int64)),
+                 output_hidden_states=True)
+    np.testing.assert_allclose(np.asarray(hidden),
+                               out.hidden_states[-2].numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled), out.text_embeds.numpy(),
+                               rtol=2e-4, atol=2e-5)
