@@ -111,3 +111,40 @@ def test_load_pretrained_end_to_end(tmp_path):
     eps_b = model.apply_unet(jnp.zeros((1, 8, 8, 4)), 5, jnp.zeros((1, 77, 32)))
     np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_load_pretrained_dual_tower_end_to_end(tmp_path):
+    """Full loader path for a dual-tower (SDXL-layout) directory: unet + vae +
+    text_encoder + text_encoder_2, each written in torch layout, reloaded, and
+    run — pinning the text2 branch of load_pretrained_params and the packed
+    context equality."""
+    import jax.numpy as jnp
+
+    from eta_inversion_tpu.models import (DiffusionModel, TINYXL,
+                                          load_diffusion_model)
+    from eta_inversion_tpu.models.weights import load_pretrained_params
+
+    params = init_random_params(TINYXL)
+    for comp, km in (("unet", unet_key_map(TINYXL.unet)),
+                     ("vae", vae_key_map(TINYXL.vae)),
+                     ("text_encoder", clip_text_key_map(TINYXL.text)),
+                     ("text_encoder_2", clip_text_key_map(TINYXL.text2))):
+        d = tmp_path / comp
+        d.mkdir()
+        src = params[{"text_encoder": "text", "text_encoder_2": "text2"}.get(comp, comp)]
+        write_safetensors(str(d / "model.safetensors"), to_torch_state(src, km))
+
+    loaded = load_pretrained_params(str(tmp_path), TINYXL)
+    assert "text2" in loaded
+    base, _ = load_diffusion_model("tinyxl")
+    model = DiffusionModel(TINYXL, jax.tree.map(jnp.asarray, loaded),
+                           base.tokenizer, schedule=TINYXL.schedule)
+    ids = base.tokenizer(["a cat"])
+    np.testing.assert_allclose(np.asarray(base.encode_text(ids)),
+                               np.asarray(model.encode_text(ids)),
+                               rtol=1e-5, atol=1e-6)
+    ctx = jnp.tile(model.encode_text(ids), (2, 1, 1))
+    eps_a = base.apply_unet(jnp.zeros((2, 8, 8, 4)), 5, ctx)
+    eps_b = model.apply_unet(jnp.zeros((2, 8, 8, 4)), 5, ctx)
+    np.testing.assert_allclose(np.asarray(eps_a), np.asarray(eps_b),
+                               rtol=1e-5, atol=1e-6)
