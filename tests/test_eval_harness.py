@@ -140,3 +140,35 @@ def test_eval_on_device_mesh(workspace):
         a = np.asarray(Image.open(f))
         b = np.asarray(Image.open(mesh_dir / "imgs" / f.name))
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1, f.name
+
+
+def test_eval_model_axis_cross_family(workspace):
+    """The model key is a grid AXIS: one cfg yaml sweeping
+    model x [tiny, tinyxl] produces one experiment (and result tree) per
+    model family through the production run_eval driver — the cross-family
+    sweep the reference cannot express (it wires only SD-1.4)."""
+    import yaml as _yaml
+
+    import eval as eval_cli
+    from eta_inversion_tpu.utils.eval_utils import create_configs
+
+    cfg = {
+        "model": ["tiny", "tinyxl"],
+        "data": ["pie"],
+        "method": [{"type": "diffinv", "num_inference_steps": 3}],
+        "edit_method": [{"type": "simple"}],
+    }
+    (workspace / "cfg" / "eval" / "families_t.yaml").write_text(
+        _yaml.safe_dump(cfg))
+    cfgs, _ = create_configs("families_t")
+    assert [c["model"] for c in cfgs] == ["tiny", "tinyxl"]
+    means = {}
+    for c in cfgs:
+        eval_cli.run_eval(c)
+        out = Path(c["path"])
+        imgs = sorted((out / "imgs").glob("*.png"))
+        assert len(imgs) == 2, (c["model"], imgs)
+        from PIL import Image
+        means[c["model"]] = float(np.asarray(Image.open(imgs[0])).mean())
+    # distinct families produce distinct results from the same inputs
+    assert means["tiny"] != means["tinyxl"]
