@@ -433,3 +433,46 @@ def test_transformer2d_depth2_matches_torch():
     h = h.reshape(b, 8, 8, inner).permute(0, 3, 1, 2)
     want = (h + residual).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_timestep_embedding_matches_diffusers_formula():
+    """Literal torch port of diffusers.models.embeddings.get_timestep_embedding
+    (the authoritative sinusoid: exponent/(half-shift), scale, sin|cos concat,
+    flip_sin_to_cos swap) as the oracle for models/layers.timestep_embedding —
+    the convention every pretrained UNet's time conditioning depends on, incl.
+    the SDXL added-cond ids (flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    import math
+
+    from eta_inversion_tpu.models.layers import timestep_embedding
+
+    def diffusers_get_timestep_embedding(timesteps, embedding_dim,
+                                         flip_sin_to_cos=False,
+                                         downscale_freq_shift=1.0,
+                                         scale=1.0, max_period=10000):
+        # verbatim semantics of diffusers/models/embeddings.py
+        assert len(timesteps.shape) == 1
+        half_dim = embedding_dim // 2
+        exponent = -math.log(max_period) * torch.arange(
+            start=0, end=half_dim, dtype=torch.float32)
+        exponent = exponent / (half_dim - downscale_freq_shift)
+        emb = torch.exp(exponent)
+        emb = timesteps[:, None].float() * emb[None, :]
+        emb = scale * emb
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+        if flip_sin_to_cos:
+            emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+        if embedding_dim % 2 == 1:
+            emb = torch.nn.functional.pad(emb, (0, 1, 0, 0))
+        return emb
+
+    ts = torch.tensor([0.0, 1.0, 17.0, 500.0, 999.0, 1024.0])
+    for dim, flip, shift in ((320, True, 0.0), (256, True, 0.0),
+                             (64, False, 1.0), (8, True, 0.0)):
+        want = diffusers_get_timestep_embedding(
+            ts, dim, flip_sin_to_cos=flip, downscale_freq_shift=shift).numpy()
+        got = np.asarray(timestep_embedding(
+            jnp.asarray(ts.numpy()), dim, flip_sin_to_cos=flip,
+            freq_shift=shift))
+        # fp32 sin/cos of large args (t~1000 at freq~1) differ by a few ulp
+        # between XLA-CPU and torch; the convention itself is exact
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
