@@ -253,12 +253,21 @@ class DiffusionModel:
         # SDXL pipeline defaults for an uncropped native-size generation
         time_ids = np.asarray([size, size, 0.0, 0.0, size, size], np.float32)
 
+        eos_id = self.tokenizer.eos_token_id
+
         def fn(params, ids):
             h1 = self.text_encoder.apply({"params": params["text"]}, ids)
             if self.text_encoder_2 is None:
                 return h1
+            # tower 2 (OpenCLIP-convention): pads with id 0 ("!"), not eos —
+            # HF ships SDXL's tokenizer_2 with pad_token "!"; padded-position
+            # hidden states feed cross-attention, so the convention matters
+            # with real weights.  Rewrite trailing pads (after the first eos).
+            eos_pos = jnp.argmax((ids == eos_id).astype(jnp.int32), axis=-1)
+            trailing = jnp.arange(ids.shape[1])[None] > eos_pos[:, None]
+            ids2 = jnp.where(trailing, 0, ids)
             h2, pooled = self.text_encoder_2.apply({"params": params["text2"]},
-                                                   ids)
+                                                   ids2)
             ctx = jnp.concatenate([h1.astype(self.dtype),
                                    h2.astype(self.dtype)], axis=-1)
             b, _, d = ctx.shape
