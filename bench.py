@@ -127,7 +127,10 @@ def main():
                        for o in outs]))
     per_edit = (time.time() - t0) / repeats / batch
 
-    baseline_s = 2.0  # v5e target from BASELINE.md
+    # v5e target from BASELINE.md (sd15, 512px).  Other presets have no
+    # external baseline: scale compute-proportionally with pixel count
+    # (sd21 is 512px SD1.5-class FLOPs -> same 2.0; sdxl 1024px -> 8.0)
+    baseline_s = 2.0 * (size / 512.0) ** 2
     print(f"# throughput: {1.0 / per_edit:.3f} images/sec/chip "
           f"({60.0 / per_edit:.1f} PIE imgs/min/chip)", file=sys.stderr)
     tag = "" if model_name == "sd15" else f"_{model_name}"

@@ -329,6 +329,20 @@ class PtpHooks(AttnHooks):
 # controllers
 # ---------------------------------------------------------------------------
 
+def _store_heads_by_key(engine, latent):
+    """Per-layer head counts for sizing store buffers (uniform on SD1.x,
+    per-stage on SD2.x/SDXL), plus the native-geometry guard: buffers are
+    sized from the preset's STATIC layer metadata, so a non-native input size
+    would desync them from the sown shapes.  The spatial axis is checked
+    (latent may carry leading stack dims, e.g. EDICT's (2, B, h, w, c) pair)."""
+    assert latent.shape[-3] == engine.model.latent_size, (
+        f"attention stores are sized for the preset's native latent "
+        f"geometry ({engine.model.latent_size}^2); got {latent.shape[-3]}"
+        f" — preprocess inputs to the preset's image_size")
+    return {m.store_key: m.heads
+            for pair in engine.model.attn_metas.values() for m in pair}
+
+
 class PtpController(Controller):
     """Full prompt-to-prompt edit controller (replace/refine [+reweight]
     [+LocalBlend]), reference ptp.py:186-320 make_controller semantics.
@@ -461,15 +475,7 @@ class PtpController(Controller):
         return len(self.store_keys) > 0
 
     def init_state(self, engine, latent, contexts):
-        # store buffers are sized from the preset's STATIC layer geometry;
-        # a non-native input size would desync them from the sown shapes
-        assert latent.shape[1] == engine.model.latent_size, (
-            f"attention stores are sized for the preset's native latent "
-            f"geometry ({engine.model.latent_size}^2); got {latent.shape[1]}"
-            f" — preprocess inputs to the preset's image_size")
-        # per-layer head counts: uniform on SD1.x, per-stage on SD2.x
-        heads_by_key = {m.store_key: m.heads
-                        for pair in engine.model.attn_metas.values() for m in pair}
+        heads_by_key = _store_heads_by_key(engine, latent)
         n = 2 * self.n_pairs  # [s_1..s_B, t_1..t_B]
         state: Dict[str, Any] = {
             "cross_alpha": jnp.asarray(self.cross_alpha),
@@ -594,11 +600,7 @@ class AttnStoreController(Controller):
         return _StoreHooks()
 
     def init_state(self, engine, latent, contexts):
-        assert latent.shape[1] == engine.model.latent_size, (
-            f"attention stores are sized for the preset's native latent "
-            f"geometry ({engine.model.latent_size}^2); got {latent.shape[1]}")
-        heads_by_key = {m.store_key: m.heads
-                        for pair in engine.model.attn_metas.values() for m in pair}
+        heads_by_key = _store_heads_by_key(engine, latent)
         state = {
             "store_sum": {
                 k: jnp.zeros((self.n_prompts, heads_by_key[k],

@@ -51,6 +51,13 @@ class NullTextInversion(DiffusionInversion):
         S = self.num_inference_steps
         ts = jnp.asarray(self.schedule.timesteps_backward)
 
+        # dual-tower presets pack [pooled; micro-cond ids] into one extra
+        # context row (models/__init__.py text_context_fn): that row is FIXED
+        # conditioning, not a free parameter — the reference optimizes only
+        # the 77 text embeddings (null_text_inversion.py:42-94)
+        ucfg = self.model.preset.unet
+        opt_rows = ucfg.context_tokens if ucfg.addition_embed else None
+
         def fn(params, latents, context):
             uncond0, cond = jnp.split(context, 2, axis=0)
             latent_prev_all = jnp.flip(latents, axis=0)[1:]  # step i target
@@ -86,6 +93,8 @@ class NullTextInversion(DiffusionInversion):
                     mh = m / (1.0 - 0.9 ** (j + 1.0))
                     vh = v / (1.0 - 0.999 ** (j + 1.0))
                     u = u - lr * mh / (jnp.sqrt(vh) + 1e-8)
+                    if opt_rows is not None:  # keep the packed row fixed
+                        u = u.at[:, opt_rows:].set(uncond0[:, opt_rows:])
                     return j + 1.0, u, m, v, loss
 
                 j0 = jnp.asarray(0.0, jnp.float32)

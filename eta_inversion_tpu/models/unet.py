@@ -154,6 +154,12 @@ class UNet2DCondition(nn.Module):
             assert not cfg_shared_prefix, \
                 "added-cond rows differ before the first cross-attention"
             assert encoder_hidden_states.shape[0] == sample.shape[0]
+            # JAX clamps out-of-bounds indices, so an unpacked (B, 77, D)
+            # context would silently misread the last token as [pooled;ids]
+            assert encoder_hidden_states.shape[1] == cfg.context_tokens + 1, (
+                f"addition_embed expects a packed context with one extra row "
+                f"({cfg.context_tokens}+1 tokens; see text_context_fn), got "
+                f"{encoder_hidden_states.shape[1]}")
             add_row = encoder_hidden_states[:, cfg.context_tokens]
             ctx = encoder_hidden_states[:, :cfg.context_tokens].astype(self.dtype)
             pooled = add_row[:, :cfg.addition_pooled_dim]
