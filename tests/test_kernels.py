@@ -309,6 +309,7 @@ def _ref_packed(q, k, v, heads, scale):
     (2, 4096, 8, 40, 512, 2048),   # SD 64x64 self-attn, production blocks
     (2, 1024, 8, 80, 512, 1024),   # SD 32x32 level (single k-block)
     (3, 1024, 8, 40, 256, 512),    # blockwise, odd batch
+    (2, 4096, 10, 64, 512, 2048),  # SD2.x/SDXL: d=64, per-stage head count
 ])
 def test_flash_packed_interpret_matches_xla(b, s, h, d, bq, bk):
     from eta_inversion_tpu.ops.flash_attention import flash_attention_packed
