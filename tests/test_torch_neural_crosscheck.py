@@ -476,3 +476,223 @@ def test_timestep_embedding_matches_diffusers_formula():
         # fp32 sin/cos of large args (t~1000 at freq~1) differ by a few ulp
         # between XLA-CPU and torch; the convention itself is exact
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Whole-UNet wiring vs a torch replica of the diffusers UNet2DConditionModel
+# architecture (tiny config): pins conv_in, down/skip ORDER, downsample,
+# mid sandwich, up-path skip pops + always-shortcut resnets, upsample,
+# time-embedding plumbing, and the output GN/SiLU/conv — the composition the
+# per-block crosschecks can't see.
+# ---------------------------------------------------------------------------
+
+def _torch_transformer2d(p, x, ctx, heads, groups, linear):
+    residual = x
+    h = F.group_norm(x, num_groups=groups, weight=_t(p["norm"]["scale"]),
+                     bias=_t(p["norm"]["bias"]), eps=1e-6)
+    b, c = h.shape[0], h.shape[1]
+    hw = h.shape[2] * h.shape[3]
+    if linear:
+        h = h.permute(0, 2, 3, 1).reshape(b, hw, c)
+        h = F.linear(h, _lin_w(p["proj_in"]["kernel"]), _t(p["proj_in"]["bias"]))
+    else:
+        h = F.conv2d(h, _conv_w(p["proj_in"]["kernel"]), _t(p["proj_in"]["bias"]))
+        h = h.permute(0, 2, 3, 1).reshape(b, hw, -1)
+    d = 0
+    while f"blocks_{d}" in p:
+        bp = p[f"blocks_{d}"]
+        h = h + _torch_attention(bp["attn1"], _torch_ln(bp["norm1"], h),
+                                 _torch_ln(bp["norm1"], h), heads)
+        h = h + _torch_attention(bp["attn2"], _torch_ln(bp["norm2"], h), ctx,
+                                 heads)
+        h = h + _torch_geglu_ff(bp["ff"], _torch_ln(bp["norm3"], h))
+        d += 1
+    side = int(hw ** 0.5)
+    if linear:
+        h = F.linear(h, _lin_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+        h = h.reshape(b, side, side, -1).permute(0, 3, 1, 2)
+    else:
+        h = h.reshape(b, side, side, -1).permute(0, 3, 1, 2)
+        h = F.conv2d(h, _conv_w(p["proj_out"]["kernel"]), _t(p["proj_out"]["bias"]))
+    return h + residual
+
+
+def _torch_resnet(p, x, temb, groups):
+    h = F.group_norm(x, num_groups=groups, weight=_t(p["norm1"]["scale"]),
+                     bias=_t(p["norm1"]["bias"]), eps=1e-5)
+    h = F.silu(h)
+    h = F.conv2d(h, _conv_w(p["conv1"]["kernel"]), _t(p["conv1"]["bias"]),
+                 padding=1)
+    h = h + F.linear(F.silu(temb), _lin_w(p["time_emb_proj"]["kernel"]),
+                     _t(p["time_emb_proj"]["bias"]))[:, :, None, None]
+    h = F.group_norm(h, num_groups=groups, weight=_t(p["norm2"]["scale"]),
+                     bias=_t(p["norm2"]["bias"]), eps=1e-5)
+    h = F.silu(h)
+    h = F.conv2d(h, _conv_w(p["conv2"]["kernel"]), _t(p["conv2"]["bias"]),
+                 padding=1)
+    if "conv_shortcut" in p:
+        x = F.conv2d(x, _conv_w(p["conv_shortcut"]["kernel"]),
+                     _t(p["conv_shortcut"]["bias"]))
+    return x + h
+
+
+def test_whole_unet_matches_torch_replica():
+    """Full tiny UNet forward (2 stages, attn on stage 0, 1 layer/block) vs a
+    torch replica of the diffusers UNet2DConditionModel wiring."""
+    from eta_inversion_tpu.models import TINY
+    from eta_inversion_tpu.models.layers import timestep_embedding
+    from eta_inversion_tpu.models.unet import UNet2DCondition
+
+    cfg = TINY.unet
+    unet = UNet2DCondition(cfg)
+    rs = np.random.RandomState(42)
+    z = rs.randn(2, 8, 8, 4).astype(np.float32)
+    ctx = rs.randn(2, 77, cfg.cross_attention_dim).astype(np.float32)
+    t = 117
+    params = unet.init(jax.random.PRNGKey(7), jnp.asarray(z), t,
+                       jnp.asarray(ctx))["params"]
+    got = np.asarray(unet.apply({"params": params}, jnp.asarray(z), t,
+                                jnp.asarray(ctx)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    g = cfg.norm_num_groups
+    heads = cfg.num_heads
+    x = _nhwc_to_nchw(z)
+    tctx = _t(ctx)
+
+    # time embedding: sinusoid (separately pinned vs diffusers) -> MLP
+    sin = _t(np.asarray(timestep_embedding(
+        jnp.full((2,), t), cfg.block_out_channels[0])))
+    temb = F.linear(sin, _lin_w(p["time_embedding"]["linear_1"]["kernel"]),
+                    _t(p["time_embedding"]["linear_1"]["bias"]))
+    temb = F.linear(F.silu(temb),
+                    _lin_w(p["time_embedding"]["linear_2"]["kernel"]),
+                    _t(p["time_embedding"]["linear_2"]["bias"]))
+
+    x = F.conv2d(x, _conv_w(p["conv_in"]["kernel"]), _t(p["conv_in"]["bias"]),
+                 padding=1)
+    skips = [x]
+    # down stage 0 (attn) -> downsample -> down stage 1
+    x = _torch_resnet(p["down_0_resnet_0"], x, temb, g)
+    x = _torch_transformer2d(p["down_0_attn_0"], x, tctx, heads, g,
+                             cfg.use_linear_projection)
+    skips.append(x)
+    x = F.conv2d(x, _conv_w(p["down_0_downsample"]["conv"]["kernel"]),
+                 _t(p["down_0_downsample"]["conv"]["bias"]), stride=2,
+                 padding=1)
+    skips.append(x)
+    x = _torch_resnet(p["down_1_resnet_0"], x, temb, g)
+    skips.append(x)
+    # mid sandwich: resnet -> transformer (always present) -> resnet
+    x = _torch_resnet(p["mid_resnet_0"], x, temb, g)
+    x = _torch_transformer2d(p["mid_attn"], x, tctx, heads, g,
+                             cfg.use_linear_projection)
+    x = _torch_resnet(p["mid_resnet_1"], x, temb, g)
+    # up stage for block_out[1] (2 resnets, no attn), upsample
+    for j in range(2):
+        x = _torch_resnet(p[f"up_0_resnet_{j}"],
+                          torch.cat([x, skips.pop()], dim=1), temb, g)
+    x = torch.nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+    x = F.conv2d(x, _conv_w(p["up_0_upsample"]["conv"]["kernel"]),
+                 _t(p["up_0_upsample"]["conv"]["bias"]), padding=1)
+    # up stage for block_out[0] (2 resnets + attn each)
+    for j in range(2):
+        x = _torch_resnet(p[f"up_1_resnet_{j}"],
+                          torch.cat([x, skips.pop()], dim=1), temb, g)
+        x = _torch_transformer2d(p[f"up_1_attn_{j}"], x, tctx, heads, g,
+                                 cfg.use_linear_projection)
+    assert not skips
+    x = F.group_norm(x, num_groups=g, weight=_t(p["conv_norm_out"]["scale"]),
+                     bias=_t(p["conv_norm_out"]["bias"]), eps=1e-5)
+    x = F.silu(x)
+    x = F.conv2d(x, _conv_w(p["conv_out"]["kernel"]), _t(p["conv_out"]["bias"]),
+                 padding=1)
+    want = x.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def test_whole_unet_added_cond_matches_torch_replica():
+    """Full tinyxl UNet forward (SDXL wiring: attention-free first stage,
+    depth-2 linear-projection transformers, text_time added conditioning
+    unpacked from the extra context row) vs a torch replica."""
+    from eta_inversion_tpu.models import TINYXL
+    from eta_inversion_tpu.models.layers import timestep_embedding
+    from eta_inversion_tpu.models.unet import UNet2DCondition
+
+    cfg = TINYXL.unet
+    unet = UNet2DCondition(cfg)
+    rs = np.random.RandomState(43)
+    z = rs.randn(2, 8, 8, 4).astype(np.float32)
+    packed = rs.randn(2, 78, cfg.cross_attention_dim).astype(np.float32)
+    # a plausible packed row: pooled in [:16], time_ids in [16:22]
+    packed[:, 77, cfg.addition_pooled_dim + 6:] = 0.0
+    packed[:, 77, cfg.addition_pooled_dim:cfg.addition_pooled_dim + 6] = \
+        [16.0, 16.0, 0.0, 0.0, 16.0, 16.0]
+    t = 233
+    params = unet.init(jax.random.PRNGKey(9), jnp.asarray(z), t,
+                       jnp.asarray(packed))["params"]
+    got = np.asarray(unet.apply({"params": params}, jnp.asarray(z), t,
+                                jnp.asarray(packed)))
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    g = cfg.norm_num_groups
+    x = _nhwc_to_nchw(z)
+    ctx = packed[:, :77]
+    tctx = _t(ctx)
+    pooled = _t(packed[:, 77, :cfg.addition_pooled_dim])
+    time_ids = packed[:, 77, cfg.addition_pooled_dim:cfg.addition_pooled_dim + 6]
+
+    def temb_mlp(pp, h):
+        h = F.linear(h, _lin_w(pp["linear_1"]["kernel"]),
+                     _t(pp["linear_1"]["bias"]))
+        return F.linear(F.silu(h), _lin_w(pp["linear_2"]["kernel"]),
+                        _t(pp["linear_2"]["bias"]))
+
+    sin = _t(np.asarray(timestep_embedding(
+        jnp.full((2,), t), cfg.block_out_channels[0])))
+    temb = temb_mlp(p["time_embedding"], sin)
+    # added cond: sinusoid of each of the 6 ids, concat after pooled, own MLP
+    add_sin = _t(np.asarray(timestep_embedding(
+        jnp.asarray(time_ids.reshape(-1)), cfg.addition_time_embed_dim)))
+    aug = torch.cat([pooled, add_sin.reshape(2, -1)], dim=-1)
+    temb = temb + temb_mlp(p["add_embedding"], aug)
+
+    heads1 = cfg.heads_for(cfg.block_out_channels[1])
+    x = F.conv2d(x, _conv_w(p["conv_in"]["kernel"]), _t(p["conv_in"]["bias"]),
+                 padding=1)
+    skips = [x]
+    # stage 0: resnet only (attn_down[0]=False), then downsample
+    x = _torch_resnet(p["down_0_resnet_0"], x, temb, g)
+    skips.append(x)
+    x = F.conv2d(x, _conv_w(p["down_0_downsample"]["conv"]["kernel"]),
+                 _t(p["down_0_downsample"]["conv"]["bias"]), stride=2,
+                 padding=1)
+    skips.append(x)
+    # stage 1: resnet + depth-2 linear-projection transformer
+    x = _torch_resnet(p["down_1_resnet_0"], x, temb, g)
+    x = _torch_transformer2d(p["down_1_attn_0"], x, tctx, heads1, g, True)
+    skips.append(x)
+    # mid: resnet -> depth-2 transformer -> resnet
+    x = _torch_resnet(p["mid_resnet_0"], x, temb, g)
+    x = _torch_transformer2d(p["mid_attn"], x, tctx, heads1, g, True)
+    x = _torch_resnet(p["mid_resnet_1"], x, temb, g)
+    # up_0 = stage 1: 2x (resnet + transformer), then upsample
+    for j in range(2):
+        x = _torch_resnet(p[f"up_0_resnet_{j}"],
+                          torch.cat([x, skips.pop()], dim=1), temb, g)
+        x = _torch_transformer2d(p[f"up_0_attn_{j}"], x, tctx, heads1, g, True)
+    x = torch.nn.functional.interpolate(x, scale_factor=2, mode="nearest")
+    x = F.conv2d(x, _conv_w(p["up_0_upsample"]["conv"]["kernel"]),
+                 _t(p["up_0_upsample"]["conv"]["bias"]), padding=1)
+    # up_1 = stage 0: 2 resnets, no attention
+    for j in range(2):
+        x = _torch_resnet(p[f"up_1_resnet_{j}"],
+                          torch.cat([x, skips.pop()], dim=1), temb, g)
+    assert not skips
+    x = F.group_norm(x, num_groups=g, weight=_t(p["conv_norm_out"]["scale"]),
+                     bias=_t(p["conv_norm_out"]["bias"]), eps=1e-5)
+    x = F.silu(x)
+    x = F.conv2d(x, _conv_w(p["conv_out"]["kernel"]), _t(p["conv_out"]["bias"]),
+                 padding=1)
+    want = x.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
