@@ -51,8 +51,14 @@ def test_sd15_store_key_sets(metas):
 
 def _fake_engine(metas):
     model = SimpleNamespace(tokenizer=HashTokenizer(), attn_metas=metas,
-                            preset=SD15)
+                            preset=SD15, latent_size=64)
     return SimpleNamespace(model=model, num_inference_steps=50)
+
+
+def _native_latent(batch: int = 1) -> jnp.ndarray:
+    """A latent at sd15's native geometry, as the engines pass init_state
+    (the store-sizing guard checks the spatial axis against the preset)."""
+    return jnp.zeros((batch, 64, 64, 4), jnp.float32)
 
 
 @pytest.fixture(scope="module")
@@ -70,7 +76,7 @@ def test_ptp_batch8_hook_row_plan(ptp_ctrl):
     probability edits — shapes must round-trip at every resolution."""
     layout = BatchLayout(n_prompts=2 * B, cfg_dup=True)
     assert layout.cond_start == 16 and layout.n_pairs == B and layout.batch == 32
-    state = ptp_ctrl.init_state(ptp_ctrl.engine, None, None)
+    state = ptp_ctrl.init_state(ptp_ctrl.engine, _native_latent(B), None)
     hooks = ptp_ctrl.hooks(jnp.asarray(0), state, layout)
 
     metas = build_attn_metas(SD15.unet)
@@ -105,7 +111,7 @@ def test_ptp_store_res16_with_blend(metas):
                          blend_words=[(("cat",), ("dog",))])
     assert len(ctrl.store_keys) == 5
     assert all("_16_" in k for k in ctrl.store_keys)
-    state = ctrl.init_state(eng, None, None)
+    state = ctrl.init_state(eng, _native_latent(), None)
     for k in ctrl.store_keys:
         assert state["store_sum"][k].shape == (2, 8, 256, 77)
 
@@ -144,7 +150,7 @@ def test_unet_abstract_forward_with_ptp_hooks(unet_abstract, ptp_ctrl):
                          [f"t{i}" for i in range(B)],
                          blend_words=[(("s",), ("t",))] * B)
     layout = BatchLayout(n_prompts=2 * B, cfg_dup=True)
-    state = ctrl.init_state(eng, None, None)
+    state = ctrl.init_state(eng, _native_latent(), None)
     hooks = ctrl.hooks(jnp.asarray(0), state, layout)
 
     eps, vars_ = jax.eval_shape(
