@@ -187,3 +187,28 @@ def test_vae_abstract_encode_decode_512():
         lambda p, x: vae.apply({"params": p}, x, method=AutoencoderKL.decode),
         pd, jax.ShapeDtypeStruct((2 * B, 64, 64, 4), jnp.float32))
     assert img.shape == (2 * B, 512, 512, 3)
+
+
+def test_sdxl_unet_abstract_forward_real_geometry():
+    """Trace the full SDXL UNet (~2.6B params, 140 attention layers, text_time
+    added conditioning) at its real 1024px geometry — (B, 128, 128, 4) latents
+    with the packed 78-row dual-tower context — without allocating a byte.
+    De-risks the on-chip SDXL bench: a real-scale shape bug fails here, not
+    20+ minutes into a single-core XLA compile."""
+    from eta_inversion_tpu.models import SDXL
+
+    unet = UNet2DCondition(SDXL.unet, dtype=jnp.bfloat16)
+    params = jax.eval_shape(
+        lambda k: unet.init(k, jnp.zeros((1, 128, 128, 4), jnp.float32),
+                            jnp.asarray(500),
+                            jnp.zeros((1, 78, 2048), jnp.bfloat16)),
+        jax.random.PRNGKey(0))["params"]
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+    assert 2.4e9 < n_params < 2.8e9  # SDXL-base UNet is ~2.57B
+
+    out = jax.eval_shape(
+        lambda p, x, c: unet.apply({"params": p}, x, jnp.asarray(500), c),
+        params,
+        jax.ShapeDtypeStruct((16, 128, 128, 4), jnp.float32),
+        jax.ShapeDtypeStruct((16, 78, 2048), jnp.bfloat16))
+    assert out.shape == (16, 128, 128, 4)
