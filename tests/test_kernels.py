@@ -101,6 +101,9 @@ def test_flash_block_size_selection():
     assert flash_block_sizes(8, 4096, 40) == (256, 2048)     # small-BH
     assert flash_block_sizes(1, 4096, 512) == (256, 1024)    # VAE d>128
     assert flash_block_sizes(4, 1536, 64) == (256, 512)      # non-2048-divisible
+    # sd21v 768px: 96x96 latents -> S=9216 self-attention (d=64, SD2.x heads);
+    # 9216 is not 2048-divisible, falls to block_k=1024
+    assert flash_block_sizes(32, 9216, 64) == (512, 1024)
 
 
 @pytest.mark.parametrize("b,h,s,d", [
