@@ -11,6 +11,9 @@ from .editing_data import EditingDataset
 from .imagen_hub import ImagenHubData
 from .pie_bench import PieBenchData
 
+# Index 29 appears twice — faithful to the reference's hard-coded list
+# (/root/reference/dataset/__init__.py `pie_sub`), which duplicates it; the
+# subset therefore evaluates sample 29 twice by design, not by accident.
 PIE_SUB_INDICES = [
     5, 15, 175, 18, 67, 93, 19, 29, 137, 181, 149, 528, 507, 389,
     384, 177, 162, 136, 132, 129, 14, 21, 24, 170, 173, 241, 0, 17, 25, 31, 36,

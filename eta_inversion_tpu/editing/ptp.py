@@ -105,7 +105,15 @@ def aggregate_store(store: Dict[str, jnp.ndarray], keys: List[str], res: int,
     per-step maps or across-step sums (downstream consumers max-normalize)."""
     maps = []
     for k in keys:
-        m = store[k]  # (n*H, hw, 77) or (n, H, hw, 77) — same reshape either way
+        m = store[k]  # (n*H, hw, 77) or (n, H, hw, 77)
+        # The reshape below is only shape-correct when the leading dims
+        # actually factor as n_prompts * heads * res * res — make callers'
+        # normalization a checked contract rather than an assumption.
+        lead = 1
+        for d in m.shape[:-1]:
+            lead *= d
+        assert lead % (n_prompts * res * res) == 0, \
+            f"store shape {m.shape} not factorable as (n={n_prompts}, H, {res}x{res}, ·)"
         maps.append(m.reshape(n_prompts, -1, res, res, m.shape[-1])[select])
     out = jnp.concatenate(maps, axis=0)
     return out.mean(axis=0)

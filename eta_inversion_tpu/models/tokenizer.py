@@ -79,12 +79,23 @@ def _get_pairs(word):
     return pairs
 
 
-_CLIP_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
-)
+# The canonical CLIP pre-token pattern uses unicode categories (\p{L}/\p{N});
+# python's stdlib `re` can't express those, so prefer the `regex` module
+# (transformers' own tokenizer imports `regex as re`).  The ASCII fallback
+# diverges on accented words ("café" splits as "caf"+"é") — only used when
+# `regex` is genuinely absent.
+try:
+    import regex as _regex
+
+    _CLIP_PAT = _regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex ships with transformers
+    _CLIP_PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+        re.IGNORECASE,
+    )
 
 
 def _whitespace_clean(text: str) -> str:
@@ -158,7 +169,7 @@ class ClipBpeTokenizer(TokenizerBase):
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
-        for token in re.findall(_CLIP_PAT, text):
+        for token in _CLIP_PAT.findall(text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(token).split(" "))
         return ids
@@ -194,7 +205,7 @@ class HashTokenizer(TokenizerBase):
 
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(text).lower()
-        words = re.findall(_CLIP_PAT, text)
+        words = _CLIP_PAT.findall(text)
         mod = self.vocab_size - 2
         return [self._hash_word(w, mod) for w in words]
 
@@ -268,7 +279,7 @@ class HashWordTokenizer(HashTokenizer):
 
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(text).lower()
-        words = re.findall(_CLIP_PAT, text)
+        words = _CLIP_PAT.findall(text)
         mod = self.vocab_size
         out = []
         for w in words:
@@ -290,11 +301,17 @@ def load_wordpiece_tokenizer(vocab_path: str | None = None,
 
 
 def load_tokenizer(vocab_dir: str | None = None, vocab_size: int = 49408) -> TokenizerBase:
-    """Load the CLIP BPE tokenizer if vocab files exist, else the hash fallback."""
+    """Load the CLIP BPE tokenizer if vocab files exist, else the hash fallback.
+
+    Accepts vocab files either at ``vocab_dir`` directly or under the
+    diffusers checkpoint layout's ``tokenizer/`` subdirectory (real SD
+    checkpoints ship ``tokenizer/vocab.json`` + ``tokenizer/merges.txt``)."""
     if vocab_dir:
-        vj = os.path.join(vocab_dir, "vocab.json")
-        for merges_name in ("merges.txt", "bpe_simple_vocab_16e6.txt.gz"):
-            mp = os.path.join(vocab_dir, merges_name)
-            if os.path.exists(vj) and os.path.exists(mp):
-                return ClipBpeTokenizer(vj, mp)
+        for sub in ("", "tokenizer"):
+            d = os.path.join(vocab_dir, sub) if sub else vocab_dir
+            vj = os.path.join(d, "vocab.json")
+            for merges_name in ("merges.txt", "bpe_simple_vocab_16e6.txt.gz"):
+                mp = os.path.join(d, merges_name)
+                if os.path.exists(vj) and os.path.exists(mp):
+                    return ClipBpeTokenizer(vj, mp)
     return HashTokenizer(vocab_size=vocab_size)

@@ -31,17 +31,19 @@ from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
-
 # scalar ptp options that must agree across a batch (editing/batched.py)
 _SCALAR_CFG_KEYS = ("is_replace_controller", "cross_replace_steps",
                     "self_replace_steps")
 
 
-@dataclass
+@dataclass(eq=False)
 class EditRequest:
     """One edit: image is HWC or NHWC float in [-1, 1] (StablePreprocess
-    output); cfg/inv_cfg follow Editor.edit semantics."""
+    output); cfg/inv_cfg follow Editor.edit semantics.
+
+    ``eq=False``: requests have identity semantics.  A generated ``__eq__``
+    would compare the image arrays elementwise (ambiguous-truth ValueError
+    the moment ``list.remove`` scans past a non-group member)."""
 
     image: Any
     source_prompt: str
@@ -80,9 +82,11 @@ class BatchingEditServer:
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
         self._closed = False
+        # dispatch_sizes is a per-bucket counter (bucket -> count), not a
+        # per-dispatch log: a long-running server must not grow its stats.
         self.stats: Dict[str, Any] = {
             "requests": 0, "batches": 0, "padded_slots": 0,
-            "dispatch_sizes": [],
+            "dispatch_sizes": {},
         }
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="edit-batcher", daemon=True)
@@ -135,8 +139,8 @@ class BatchingEditServer:
             key = self._queue[0].compat_key()
             group = [r for r in self._queue if r.compat_key() == key]
             group = group[: self.max_batch]
-            for r in group:
-                self._queue.remove(r)
+            taken = {id(r) for r in group}
+            self._queue = [r for r in self._queue if id(r) not in taken]
             return group
 
     def _bucket(self, n: int) -> int:
@@ -146,16 +150,27 @@ class BatchingEditServer:
         return self.buckets[-1]
 
     def _dispatch_loop(self) -> None:
+        # The whole body is guarded: an exception escaping this loop would
+        # kill the single dispatch thread and strand every queued future.
         while True:
-            group = self._take_group()
-            if group is None:
-                return
+            group: Optional[List[EditRequest]] = None
             try:
+                group = self._take_group()
+                if group is None:
+                    return
                 self._run_group(group)
-            except Exception as exc:  # pragma: no cover - defensive
-                for r in group:
+            except Exception as exc:
+                for r in group or ():
                     if not r.future.done():
                         r.future.set_exception(exc)
+                if group is None:
+                    # _take_group itself failed: the queue state is suspect —
+                    # fail everything queued rather than hang callers forever.
+                    with self._lock:
+                        stranded, self._queue = self._queue, []
+                    for r in stranded:
+                        if not r.future.done():
+                            r.future.set_exception(exc)
 
     def _run_group(self, group: List[EditRequest]) -> None:
         import jax.numpy as jnp
@@ -168,7 +183,8 @@ class BatchingEditServer:
         with self._lock:
             self.stats["batches"] += 1
             self.stats["padded_slots"] += bucket - n
-            self.stats["dispatch_sizes"].append(bucket)
+            sizes = self.stats["dispatch_sizes"]
+            sizes[bucket] = sizes.get(bucket, 0) + 1
 
         images = jnp.concatenate(
             [jnp.asarray(r.image)[None] if jnp.asarray(r.image).ndim == 3
@@ -187,15 +203,18 @@ class BatchingEditServer:
             if res is None:  # unsupported combo — Editor.edit's None contract
                 r.future.set_result(None)
             else:
-                r.future.set_result({k: np.asarray(v[i: i + 1])
-                                     for k, v in res.items()})
+                # Keep device-array slices: StablePostProc's fast path does
+                # the uint8 cast on-device before the host fetch, and a
+                # blocking fp32 fetch here would serialize the dispatch
+                # thread against HTTP encoding.
+                r.future.set_result({k: v[i: i + 1] for k, v in res.items()})
 
     # ---- introspection ---------------------------------------------------
 
     def stats_snapshot(self) -> Dict[str, Any]:
         with self._lock:
             s = dict(self.stats)
-            s["dispatch_sizes"] = list(s["dispatch_sizes"])
+            s["dispatch_sizes"] = dict(s["dispatch_sizes"])
             s["queue_depth"] = len(self._queue)
             if s["batches"]:
                 s["mean_batch"] = s["requests"] / s["batches"]

@@ -74,18 +74,38 @@ class EditHandler(BaseHTTPRequestHandler):
         batcher, pre, post = type(self).server_ctx
         length = int(self.headers.get("Content-Length", "0"))
         form = parse_multipart(self.headers, self.rfile.read(length))
-        try:
-            from PIL import Image
 
-            t0 = time.monotonic()
+        # Client-input validation: missing/malformed fields are 400s with a
+        # clear message, never 500s echoing a raw traceback.
+        from PIL import Image
+
+        if not form.get("image"):
+            self._json({"error": "missing required form field 'image'"},
+                       status=400)
+            return
+        try:
             img = Image.open(io.BytesIO(form["image"])).convert("RGB")
+        except Exception:
+            self._json({"error": "field 'image' is not a decodable image"},
+                       status=400)
+            return
+        cfgs = {}
+        for key in ("cfg", "inv_cfg"):
+            if form.get(key):
+                try:
+                    cfgs[key] = json.loads(form[key])
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    self._json({"error": f"field '{key}' is not valid JSON"},
+                               status=400)
+                    return
+
+        try:
+            t0 = time.monotonic()
             arr = pre(img)  # NHWC [-1,1] at the model's native size
             res = batcher.edit(
                 arr, form.get("source_prompt", ""),
                 form.get("target_prompt", ""),
-                cfg=json.loads(form["cfg"]) if form.get("cfg") else None,
-                inv_cfg=(json.loads(form["inv_cfg"])
-                         if form.get("inv_cfg") else None))
+                cfg=cfgs.get("cfg"), inv_cfg=cfgs.get("inv_cfg"))
             if res is None:
                 self._json({"error": "unsupported inverter/editor combo"},
                            status=422)
@@ -97,7 +117,8 @@ class EditHandler(BaseHTTPRequestHandler):
                 "latency_s": round(time.monotonic() - t0, 4),
             })
         except Exception as e:
-            self._json({"error": f"{type(e).__name__}: {e}"}, status=500)
+            self._json({"error": f"internal error: {type(e).__name__}"},
+                       status=500)
 
     def log_message(self, fmt, *args):
         pass

@@ -23,6 +23,78 @@ import pytest  # noqa: E402
 
 GOLDENS_PATH = pathlib.Path(__file__).parent / "goldens.json"
 
+# ---------------------------------------------------------------------------
+# Full-suite runs are sharded into one pytest subprocess per test module.
+#
+# A single long-lived pytest process accumulates hundreds of XLA-CPU-compiled
+# executables and the compiler can segfault late in the run (reproduced twice
+# around test ~90, in backend_compile_and_load).  tests/test_all.sh always ran
+# per-module processes; this hook makes the *naive* `pytest tests/` invocation
+# do the same automatically, so a newcomer's first run exits cleanly.
+# Single-module invocations (`pytest tests/test_models.py`) run in-process as
+# usual.
+# ---------------------------------------------------------------------------
+
+_SHARD_ENV = "ETA_TPU_TEST_SHARD_CHILD"
+
+
+def _collect_module_paths(args):
+    """Positional args -> the list of test modules they cover (or None if the
+    invocation is already narrow enough to run in one process)."""
+    import os as _os
+
+    here = pathlib.Path(__file__).parent
+    files = []
+    saw_positional = False
+    for a in args:
+        if a.startswith("-"):
+            continue
+        path = a.split("::", 1)[0]
+        if not _os.path.exists(path):
+            continue
+        saw_positional = True
+        p = pathlib.Path(path)
+        if p.is_dir():
+            files.extend(sorted(p.glob("test_*.py")))
+        else:
+            files.append(p)
+    if not saw_positional:  # bare `pytest` -> whole tests/ dir
+        files = sorted(here.glob("test_*.py"))
+    uniq = sorted({str(f) for f in files})
+    return uniq if len(uniq) > 3 else None
+
+
+def pytest_cmdline_main(config):
+    import os as _os
+
+    if _os.environ.get(_SHARD_ENV):
+        return None  # already inside a shard subprocess
+    raw = list(config.invocation_params.args)
+    modules = _collect_module_paths(raw)
+    if modules is None:
+        return None  # narrow run: normal in-process pytest
+
+    import subprocess
+    import sys
+
+    flags = [a for a in raw if a.startswith("-")]
+    stop_on_fail = "-x" in flags or "--exitfirst" in flags
+    env = dict(_os.environ, **{_SHARD_ENV: "1"})
+    print(f"[conftest] sharding {len(modules)} test modules into one pytest "
+          "subprocess each (XLA-CPU executable accumulation segfaults very "
+          "long single-process runs; see tests/test_all.sh)")
+    worst = 0
+    for m in modules:
+        rc = subprocess.call([sys.executable, "-m", "pytest", m, *flags],
+                             env=env)
+        # exit code 5 = "no tests collected" (e.g. everything deselected by
+        # -k) — not a failure of the sharded run
+        if rc not in (0, 5):
+            worst = max(worst, rc if rc < 128 else 1)
+            if stop_on_fail:
+                break
+    return worst
+
 
 @pytest.fixture(scope="session")
 def goldens():

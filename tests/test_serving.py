@@ -51,7 +51,7 @@ def test_coalesces_full_batch_and_matches_solo(tiny_model):
     stats = server.stats_snapshot()
     assert stats["requests"] == 4
     assert stats["batches"] == 1, stats  # one coalesced dispatch
-    assert stats["dispatch_sizes"] == [4]
+    assert stats["dispatch_sizes"] == {4: 1}
     assert stats["padded_slots"] == 0
 
     for i, res in enumerate(results):
@@ -73,7 +73,7 @@ def test_bucket_padding(tiny_model):
     finally:
         server.shutdown()
     stats = server.stats_snapshot()
-    assert stats["dispatch_sizes"] == [4]
+    assert stats["dispatch_sizes"] == {4: 1}
     assert stats["padded_slots"] == 1
     assert len(results) == 3 and all(r is not None for r in results)
 
@@ -91,7 +91,7 @@ def test_incompatible_cfgs_split_batches(tiny_model):
         server.shutdown()
     stats = server.stats_snapshot()
     assert stats["batches"] == 2, stats
-    assert sorted(stats["dispatch_sizes"]) == [1, 2]
+    assert stats["dispatch_sizes"] == {1: 1, 2: 1}
     assert all(r is not None for r in results)
 
 
@@ -104,7 +104,7 @@ def test_single_request_uses_editor_edit_path(tiny_model):
                           timeout=600)
     finally:
         server.shutdown()
-    assert server.stats_snapshot()["dispatch_sizes"] == [1]
+    assert server.stats_snapshot()["dispatch_sizes"] == {1: 1}
     solo = _editor(tiny_model).edit(img, "a cat", "a tiger",
                                     cfg=dict(PTP_CFG))
     np.testing.assert_allclose(res["image"], np.asarray(solo["image"]),
@@ -179,6 +179,36 @@ def test_http_frontend_end_to_end(tiny_model):
         stats = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/v1/stats", timeout=30).read())
         assert stats["requests"] == 1 and stats["batches"] == 1
+
+        # Client errors are 400s with a clear message, not 500s: missing
+        # image field, undecodable image bytes, malformed cfg JSON.
+        def _post(body_fields, image_bytes=None):
+            b = uuid.uuid4().hex
+            body = b""
+            for k, v in body_fields.items():
+                body += (f"--{b}\r\nContent-Disposition: form-data; "
+                         f'name="{k}"\r\n\r\n{v}\r\n').encode()
+            if image_bytes is not None:
+                body += (f"--{b}\r\nContent-Disposition: form-data; "
+                         f'name="image"; filename="in.png"\r\n'
+                         "Content-Type: image/png\r\n\r\n").encode()
+                body += image_bytes + b"\r\n"
+            body += f"--{b}--\r\n".encode()
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/edit", data=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={b}"})
+            try:
+                urllib.request.urlopen(req2, timeout=60)
+                return 200
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        import urllib.error
+        assert _post({"source_prompt": "a"}) == 400            # no image
+        assert _post({}, image_bytes=b"not-a-png") == 400      # bad image
+        assert _post({"cfg": "{not json"},
+                     image_bytes=buf.getvalue()) == 400        # bad JSON
     finally:
         httpd.shutdown()
         batcher.shutdown()
