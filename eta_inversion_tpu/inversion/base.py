@@ -393,8 +393,11 @@ class DiffusionInversion:
                        and guidance_scale in (0, 1)) and guidance_scale is not None
         return BatchLayout(n_prompts, cfg_dup)
 
-    def diffusion_forward(self, latent, context, guidance_scale_fwd=None,
-                          ctrl: Optional[Controller] = None, rng=None) -> Dict[str, Any]:
+    def _forward_program(self, latent, context, guidance_scale_fwd=None,
+                         ctrl: Optional[Controller] = None, rng=None):
+        """Build (but do not run) the forward scan program: returns
+        ``(jfn, args)`` with ``args = (params, latent, context, extras,
+        state0, rng)``.  See `_backward_program` for why this is separated."""
         ctrl = ctrl or ControllerEmpty()
         gs = self.guidance_scale_fwd if guidance_scale_fwd is None else guidance_scale_fwd
         n_prompts = context.shape[0] // 2
@@ -424,14 +427,26 @@ class DiffusionInversion:
         state0 = ctrl.init_state(self, latent, context)
         jfn = self._cached("fwd", (gs, latent.shape, context.shape,
                                    ctrl.static_key(), layout), fn)
+        return jfn, (self.model.params, latent, context, extras, state0, rng)
+
+    def diffusion_forward(self, latent, context, guidance_scale_fwd=None,
+                          ctrl: Optional[Controller] = None, rng=None) -> Dict[str, Any]:
+        jfn, (params, latent, context, extras, state0, rng) = \
+            self._forward_program(latent, context, guidance_scale_fwd, ctrl, rng)
         latent = self._shard_batch(latent)
         context = self._shard_batch(context)
-        out = jfn(self.model.params, latent, context, extras, state0, rng)
+        out = jfn(params, latent, context, extras, state0, rng)
         out["fwd_state"] = out.pop("state")
         return out
 
-    def diffusion_backward(self, latent, context, inv_result: Dict[str, Any],
-                           ctrl: Optional[Controller] = None, rng=None):
+    def _backward_program(self, latent, context, inv_result: Dict[str, Any],
+                          ctrl: Optional[Controller] = None, rng=None):
+        """Build (but do not run) the backward scan program: returns
+        ``(jfn, args)`` with ``args = (params, latent, context, extras,
+        carry_extras, state0, rng)``.  Separated from `diffusion_backward` so
+        tests can `jfn.lower(*args)` at real model geometry (abstract sharded
+        params, no compile) to validate mesh spec propagation before
+        multi-chip hardware exists."""
         ctrl = ctrl or ControllerEmpty()
         n_prompts = context.shape[0] // 2
         layout = self._layout(n_prompts, self.guidance_scale_bwd)
@@ -460,9 +475,17 @@ class DiffusionInversion:
         jfn = self._cached("bwd", (latent.shape, context.shape,
                                    ctrl.static_key(), layout, len(ts),
                                    tuple(sorted(extras)), tuple(sorted(carry_extras))), fn)
+        args = (self.model.params, latent, context, extras, carry_extras,
+                state0, rng)
+        return jfn, args
+
+    def diffusion_backward(self, latent, context, inv_result: Dict[str, Any],
+                           ctrl: Optional[Controller] = None, rng=None):
+        jfn, (params, latent, context, extras, carry_extras, state0, rng) = \
+            self._backward_program(latent, context, inv_result, ctrl, rng)
         latent = self._shard_batch(latent)
         context = self._shard_batch(context)
-        return jfn(self.model.params, latent, context, extras, carry_extras, state0, rng)
+        return jfn(params, latent, context, extras, carry_extras, state0, rng)
 
     # --------------------------------------------------------------- user API
 
