@@ -439,6 +439,18 @@ def attention_packed(q, k, v, heads: int, scale: Optional[float] = None,
     d = hd // heads
     if scale is None:
         scale = d ** -0.5
+    sp = _ring_dispatch(b, sq, sk)
+    if sp is not None:
+        # ring path: the (B,H,S,D) transposes are real here, but the ring is
+        # only admitted at sequence lengths where single-chip attention has
+        # already lost (S >= min_seq) — layout cost is noise vs the S^2 work
+        from ..parallel.ring_attention import ring_attention_bhsd
+
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        o = ring_attention_bhsd(qh, kh, vh, sp, float(scale))
+        return o.transpose(0, 2, 1, 3).reshape(b, sq, hd)
     if heads == 1:
         # single-head (VAE mid-attention): packed already IS flat — ride the
         # existing dispatcher through a free reshape
@@ -539,19 +551,67 @@ def xla_attention(q, k, v, scale: float):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+# largest (B, H, Sq, Sk) fp32 score tensor the unchunked XLA path may
+# materialize.  Above it, attention falls back to q-chunked evaluation: the
+# 768px/1024px VAE mid-attention (single head, d=512, S=9216/16384) fails the
+# flash kernel's VMEM gate AND its full score tensor is HBM-hostile (16384^2
+# fp32 = 1 GB per batch row — batch 8 at 1024px would materialize 8.6 GB
+# twice over, an instant OOM next to SDXL's 5 GB of params).
+_XLA_SCORE_BUDGET = 256 * 1024 * 1024
+
+
+def _chunk_size(sq: int, rows: int) -> int:
+    """Largest power-of-two q-chunk dividing sq whose score slab fits the
+    budget (>= 256 rows so the MXU still sees full tiles)."""
+    c = 1 << (sq.bit_length() - 1)
+    while c > 256 and (sq % c != 0 or rows * c * 4 > _XLA_SCORE_BUDGET):
+        c //= 2
+    return c
+
+
+def xla_attention_chunked(q, k, v, scale: float, chunk: int):
+    """xla_attention evaluated over q-chunks with `lax.map`: only a
+    (B, H, chunk, Sk) score slab is ever live.  Exact same math (the clamped
+    single-pass softmax is row-independent)."""
+    b, h, sq, d = q.shape
+    qc = q.reshape(b, h, sq // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
+    o = jax.lax.map(lambda qi: xla_attention(qi, k, v, scale), qc)
+    return o.transpose(1, 2, 0, 3, 4).reshape(b, h, sq, d)
+
+
 def attention_probs(q, k, scale: float):
     """Materialized attention probabilities (fp32) for hook-carrying layers."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     return jax.nn.softmax(s * scale, axis=-1)
 
 
+def _ring_dispatch(batch: int, sq: int, sk: int):
+    """Trace-time check for an active sequence-parallel context admitting this
+    self-attention shape (see parallel/ring_attention.sequence_parallel).
+    Returns the SeqParallel config or None.  Lazy import: ops must not load
+    the parallel package at import time."""
+    if sq != sk:
+        return None
+    from ..parallel.ring_attention import active_sequence_parallel, ring_eligible
+
+    sp = active_sequence_parallel()
+    return sp if ring_eligible(sp, batch, sq) else None
+
+
 def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024):
     """Dispatching attention: Pallas flash kernel on TPU for long self-attention,
-    XLA path otherwise. q, k, v: (B, H, S, D)."""
+    XLA path otherwise; under an active `sequence_parallel` mesh context,
+    self-attention at or above the ring gate shards S over the mesh axis
+    (parallel/ring_attention.py). q, k, v: (B, H, S, D)."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:
         scale = d ** -0.5
+    sp = _ring_dispatch(b, sq, sk)
+    if sp is not None:
+        from ..parallel.ring_attention import ring_attention_bhsd
+
+        return ring_attention_bhsd(q, k, v, sp, float(scale))
     use_flash = (
         on_tpu()
         and sq == sk
@@ -577,6 +637,10 @@ def attention(q, k, v, scale: Optional[float] = None, min_flash_seq: int = 1024)
         # otherwise fuses into the einsums — net slower in-model (bwd xprof
         # trace r3).  crossk_attention_bhsd is kept for callers with
         # already-flat layouts.
+        if b * h * sq * sk * 4 > _XLA_SCORE_BUDGET:
+            chunk = _chunk_size(sq, b * h * sk)
+            if sq % chunk == 0 and chunk < sq:
+                return xla_attention_chunked(q, k, v, scale, chunk)
         return xla_attention(q, k, v, scale)
 
     # head_dim stays NATIVE (no HBM pad to 128): the kernel's block specs take

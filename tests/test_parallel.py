@@ -293,3 +293,51 @@ def test_new_family_flagship_partitions_on_mesh(preset):
         assert "data" in _spec_names(arr), arr.sharding
         assert {s.data.shape[0] for s in arr.addressable_shards} == {B // dp}
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_ring_attention_wired_into_unet_at_sdxl_top_stage():
+    """The MODEL PATH reaches the ring: a UNet forward at the SDXL top-stage
+    sequence length (64x64 tokens after one downsample of the 128x128 latent,
+    S=4096 — narrow channels so CPU stays cheap) traced under
+    `sequence_parallel` must (a) actually route its long self-attention
+    through parallel/ring_attention, (b) produce the same numbers as the
+    un-meshed forward, (c) work inside jit.  This is the wiring the standalone
+    ring tests above cannot see."""
+    from eta_inversion_tpu.models.unet import UNet2DCondition, UNetConfig
+    from eta_inversion_tpu.parallel import ring_attention as ra
+
+    cfg = UNetConfig(sample_size=128, block_out_channels=(16, 32, 32),
+                     layers_per_block=1, cross_attention_dim=32, head_dim=16,
+                     use_linear_projection=True, norm_num_groups=8,
+                     attn_down=(False, True, True))
+    unet = UNet2DCondition(cfg, dtype=jnp.float32)
+    rs = np.random.RandomState(7)
+    B = 2
+    x = jnp.asarray(rs.randn(B, 128, 128, 4), jnp.float32)
+    ctx = jnp.asarray(rs.randn(B, 77, 32), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, 10, ctx)
+
+    want = jax.jit(unet.apply)(params, x, 10, ctx)
+
+    calls = []
+    real = ra.ring_attention_bhsd
+
+    def spy(q, k, v, sp, scale):
+        calls.append(q.shape)
+        return real(q, k, v, sp, scale)
+
+    mesh = make_mesh(8, model_parallel=4)  # data=2, model=4
+    ra.ring_attention_bhsd, orig = spy, ra.ring_attention_bhsd
+    try:
+        with mesh, ra.sequence_parallel(mesh, axis="model", min_seq=4096):
+            got = jax.jit(unet.apply)(params, x, 10, ctx)
+    finally:
+        ra.ring_attention_bhsd = orig
+
+    # only the S=4096 self-attention layers are admitted (down_1, up_1 x2 at
+    # 64x64); the S=1024 stage-2/mid layers and all cross-attention stay on
+    # the single-chip path
+    assert calls and all(s[2] == 4096 for s in calls), calls
+    assert len(calls) == 3, calls
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
