@@ -407,3 +407,70 @@ def test_attention_packed_ineligible_falls_back(monkeypatch):
     q = jnp.asarray(rs.randn(1, 256, 512), jnp.float32)
     o = fa.attention_packed(q, q * 0.5, q * 0.25, heads=1)
     assert o.shape == q.shape
+
+def test_xla_attention_chunked_matches_plain():
+    """q-chunked evaluation is exact vs the one-shot XLA path (row-independent
+    softmax), including non-self sk and bf16 inputs."""
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.randn(2, 3, 1024, 16), jnp.float32)
+    k = jnp.asarray(rs.randn(2, 3, 512, 16), jnp.float32)
+    v = jnp.asarray(rs.randn(2, 3, 512, 16), jnp.float32)
+    got = fa.xla_attention_chunked(q, k, v, 0.25, chunk=256)
+    want = fa.xla_attention(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_attention_dispatch_chunks_huge_scores(monkeypatch):
+    """The 1024px VAE mid-attention shape (B=1, H=1, S=16384, d=512 — SDXL
+    decode) fails the flash VMEM gate AND exceeds the XLA score budget
+    (16384^2 fp32 = 1 GB): the dispatcher must take the q-chunked path with a
+    budget-respecting chunk.  (d is shrunk here to keep the CPU test cheap;
+    the chunk decision only reads B*H*Sq*Sk.)"""
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "on_tpu", lambda: True)
+    called = {}
+    real = fa.xla_attention_chunked
+
+    def spy(q, k, v, scale, chunk):
+        called["chunk"] = chunk
+        return real(q, k, v, scale, chunk)
+
+    monkeypatch.setattr(fa, "xla_attention_chunked", spy)
+    rs = np.random.RandomState(12)
+    s = 16384
+    q = jnp.asarray(rs.randn(1, 1, s, 8), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(1, 1, s, 8), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(1, 1, s, 8), jnp.bfloat16)
+    # d=512's itemsize/VMEM gate is what rejects flash at the real shape;
+    # d is small here (CPU cost), so emulate the rejection via min_flash_seq
+    # while asserting the real gate would indeed fire for d=512
+    assert not (512 <= 128 or 4 * 512 * s * 2 <= 32 * 1024 * 1024)
+    o = fa.attention(q, k, v, min_flash_seq=1 << 30)
+    assert o.shape == q.shape
+    assert called["chunk"] == 4096  # 1*1*16384 rows * 4096 * 4B = 256 MB slab
+    # exactness vs the unchunked reference at this shape
+    want = fa.xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), 8 ** -0.5)
+    np.testing.assert_allclose(np.asarray(o, np.float32), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sdxl_shape_kernel_dispatch():
+    """Pin the kernel/block decisions at every SDXL (1024px) attention
+    geometry: stage-2 S=4096 and stage-3/mid S=1024 self-attention ride the
+    flash kernel (d=64 heads), the 128x128 VAE mid-attention (S=16384, d=512)
+    is rejected by the VMEM gate, and block sizes match the sweep table."""
+    from eta_inversion_tpu.ops.flash_attention import flash_block_sizes
+
+    # batch 8 pair-edit: UNet rows B=32 (2 prompts x CFG x 8), stage-2 has
+    # 10 heads (640/64), stage-3/mid 20 (1280/64)
+    assert flash_block_sizes(32 * 10, 4096, 64) == (512, 2048)
+    assert flash_block_sizes(32 * 20, 1024, 64) == (256, 1024)  # onepass
+    # VAE decode at 1024px: d=512 staged K/V = 4*512*16384*2B = 64 MB > gate
+    assert not (4 * 512 * 16384 * 2 <= 32 * 1024 * 1024)
+    # latency mode (batch 1, rows=4): small-BH block_q
+    assert flash_block_sizes(4 * 10, 4096, 64) == (512, 2048)
