@@ -120,11 +120,21 @@ def main():
 
     # steady-state throughput: batches dispatch back-to-back (JAX async) so
     # per-batch host prep overlaps device compute — the same pipeline eval.py
-    # runs (one batch in flight); synced at the end, total time / total edits
+    # runs (one batch in flight); synced at the end, total time / total edits.
+    # At 1024px the queued dispatches' working sets (several GB each next to
+    # SDXL's 7 GB of params) cannot overlap in HBM: sync each batch before
+    # enqueueing the next (the lost host/device overlap is microseconds
+    # against an 8 s/edit workload).
+    sync_each = int(os.environ.get("BENCH_SYNC", "1" if size >= 1024 else "0"))
     t0 = time.time()
-    outs = [dispatch() for _ in range(repeats)]
-    m = float(np.mean([np.asarray(o).astype(np.float32).mean() / 127.5 - 1.0
-                       for o in outs]))
+    if sync_each:
+        means = [np.asarray(dispatch()).astype(np.float32).mean() / 127.5 - 1.0
+                 for _ in range(repeats)]
+        m = float(np.mean(means))
+    else:
+        outs = [dispatch() for _ in range(repeats)]
+        m = float(np.mean([np.asarray(o).astype(np.float32).mean() / 127.5 - 1.0
+                           for o in outs]))
     per_edit = (time.time() - t0) / repeats / batch
 
     # v5e target from BASELINE.md (sd15, 512px).  Other presets have no

@@ -301,6 +301,20 @@ class DiffusionModel:
         return self.encode_text(ids)
 
 
+def _cast_params(tree, dtype):
+    """Store params in the COMPUTE dtype.  flax keeps `param_dtype` float32 by
+    default and casts at every op, so pre-casting is numerically identical for
+    inference while halving param HBM — the difference between SDXL fitting
+    one v5e (2.57B UNet: 5.1 GB bf16 vs 10.3 GB fp32 on a 16 GB chip) and an
+    instant OOM.  Matches the pretrained path (weights.py:314-326 casts on
+    load).  Per-leaf donation keeps the peak at fp32-tree + one leaf."""
+    if dtype == jnp.float32:
+        return tree
+    cast = jax.jit(lambda x: x.astype(dtype), donate_argnums=0)
+    return jax.tree.map(
+        lambda x: cast(x) if x.dtype == jnp.float32 else x, tree)
+
+
 def init_random_params(preset: ModelPreset, dtype=jnp.float32, seed: int = 0) -> Dict[str, Any]:
     """Deterministic random-init parameters with the exact architecture shapes."""
     k_unet, k_vae, k_text, k_text2 = jax.random.split(jax.random.PRNGKey(seed), 4)
@@ -315,13 +329,19 @@ def init_random_params(preset: ModelPreset, dtype=jnp.float32, seed: int = 0) ->
     vae = AutoencoderKL(preset.vae, dtype=dtype)
     text = CLIPTextEncoder(preset.text, dtype=dtype)
 
-    unet_params = jax.jit(lambda k: unet.init(k, latent, 0, ctx)["params"])(k_unet)
-    vae_params = jax.jit(lambda k: vae.init(k, img)["params"])(k_vae)
-    text_params = jax.jit(lambda k: text.init(k, ids)["params"])(k_text)
+    # cast each subtree before initializing the next so the fp32 peak is one
+    # submodule at a time (the SDXL UNet alone is 10.3 GB fp32)
+    unet_params = _cast_params(
+        jax.jit(lambda k: unet.init(k, latent, 0, ctx)["params"])(k_unet), dtype)
+    vae_params = _cast_params(
+        jax.jit(lambda k: vae.init(k, img)["params"])(k_vae), dtype)
+    text_params = _cast_params(
+        jax.jit(lambda k: text.init(k, ids)["params"])(k_text), dtype)
     out = {"unet": unet_params, "vae": vae_params, "text": text_params}
     if preset.text2 is not None:
         text2 = CLIPTextEncoder(preset.text2, dtype=dtype)
-        out["text2"] = jax.jit(lambda k: text2.init(k, ids)["params"])(k_text2)
+        out["text2"] = _cast_params(
+            jax.jit(lambda k: text2.init(k, ids)["params"])(k_text2), dtype)
     return out
 
 

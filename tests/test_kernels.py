@@ -83,6 +83,8 @@ def test_flash_onepass_kernel_interpret_matches_xla(bh, s, d):
     (2, 4096, 40, 512, 2048),   # SD 64x64 self-attn, batch-8 production blocks
     (1, 4096, 512, 256, 1024),  # VAE mid-attention at 512px decode (d>128)
     (2, 1024, 512, 256, 1024),  # VAE mid-attention at 256px (onepass, d>128)
+    (2, 4096, 64, 512, 2048),   # SDXL 1024px stage-2 self-attn (d=64)
+    (2, 9216, 64, 512, 1024),   # sd21v 768px 96x96 self-attn (non-2048-div S)
 ])
 def test_flash_kernel_interpret_production_shapes(bh, s, d, bq, bk):
     q, k, v = _mk(bh, s, d, seed=5)

@@ -252,3 +252,23 @@ def test_tinyxl_unet_forward_and_store(tinyxl_model):
     ctx_zero_row = ctx.at[:, 77].set(0.0)
     eps3 = model.apply_unet(z, 10, ctx_zero_row)
     assert float(jnp.abs(eps - eps3).max()) > 1e-6
+
+
+def test_bf16_load_stores_params_in_compute_dtype():
+    """dtype="bfloat16" must STORE params bf16 (flax would otherwise keep
+    param_dtype fp32 and cast at every op — numerically identical but double
+    the param HBM; SDXL fp32 params alone are 14 GB on a 16 GB chip), while
+    the fp32 default keeps fp32 exactly.  Integer leaves (e.g. position ids)
+    stay integral."""
+    import jax
+
+    from eta_inversion_tpu.models import load_diffusion_model
+
+    m16, _ = load_diffusion_model("tiny", dtype="bfloat16", seed=7)
+    dts = {str(l.dtype) for l in jax.tree.leaves(m16.params)}
+    assert "float32" not in dts, dts
+    assert "bfloat16" in dts
+
+    m32, _ = load_diffusion_model("tiny", seed=7)
+    assert {str(l.dtype) for l in jax.tree.leaves(m32.params)
+            if str(l.dtype).startswith("float")} == {"float32"}
