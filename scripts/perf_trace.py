@@ -29,8 +29,9 @@ def main():
     phase = sys.argv[1] if len(sys.argv) > 1 else "bwd"
     steps = int(os.environ.get("PROBE_STEPS", "50"))
     B = int(os.environ.get("PROBE_BATCH", "8"))
+    model_name = os.environ.get("PROBE_MODEL", "sd15")
 
-    model, _ = load_diffusion_model("sd15", dtype="bfloat16")
+    model, _ = load_diffusion_model(model_name, dtype="bfloat16")
     inv = load_inverter(model, "etainv", num_inference_steps=steps,
                         eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=10)
     editor = load_editor(inv, "ptp")
@@ -38,7 +39,8 @@ def main():
                self_replace_steps=0.5)
 
     rs = np.random.RandomState(0)
-    images = jnp.asarray(rs.rand(B, 512, 512, 3).astype("float32") * 2 - 1)
+    size = model.image_size
+    images = jnp.asarray(rs.rand(B, size, size, 3).astype("float32") * 2 - 1)
     srcs = [f"a cat sitting next to a mirror number {i}" for i in range(B)]
     tgts = [f"a tiger sitting next to a mirror number {i}" for i in range(B)]
     inv_cfg = {"edit_word_idx": [(1, 1)] * B}
