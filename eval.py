@@ -32,7 +32,7 @@ def _parse_mesh(spec):
 
 
 def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
-             mesh: str = None):
+             mesh: str = None, inflight: int = 1):
     import contextlib
 
     import numpy as np
@@ -133,11 +133,11 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         print(f"[{i}] saved {sample['edit_image_file']}")
 
     pending = []  # (i, sample) batch accumulator
-    inflight = []  # dispatched-but-unsaved device batches
+    in_flight = []  # dispatched-but-unsaved device batches
 
     def drain_inflight(keep: int = 0):
-        while len(inflight) > keep:
-            idxs, samples, res = inflight.pop(0)
+        while len(in_flight) > keep:
+            idxs, samples, res = in_flight.pop(0)
             for j, (i, s) in enumerate(zip(idxs, samples)):
                 save(s, res["image"][j], i)  # blocks on the device here
 
@@ -160,10 +160,15 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         if res is None:
             print(f"batch {idxs}: combination unsupported, skipping")
             return
-        # JAX dispatch is asynchronous: keep one batch in flight so the next
-        # batch's host IO (native loader) and assembly overlap device compute
-        inflight.append((idxs, samples, res))
-        drain_inflight(keep=1)
+        # JAX dispatch is asynchronous: keep `inflight` batches in flight so
+        # the next batch's host IO (native loader) and assembly overlap device
+        # compute.  inflight=0 drains synchronously — needed under the axon
+        # relay, whose chip-side buffers from completed dispatches are not
+        # released while a second program is queued (two 50-step edit programs
+        # in flight exhaust HBM and crash the TPU worker; single-dispatch runs
+        # of the same program are fine).
+        in_flight.append((idxs, samples, res))
+        drain_inflight(keep=max(int(inflight), 0))
 
     with stack:  # holds the device mesh when --mesh is set
         for i in range(len(data)):
@@ -224,7 +229,7 @@ def main(args):
         print(f"=== {cfg['path']}")
         run_eval(cfg, override=args.override,
                  skip_existing_dirs=args.skip_existing_dirs, batch=args.batch,
-                 mesh=args.mesh)
+                 mesh=args.mesh, inflight=args.inflight)
 
 
 if __name__ == "__main__":
@@ -241,6 +246,13 @@ if __name__ == "__main__":
                         help="Pair-batched editing: run N samples per compiled "
                              "program (supported editors: simple/ptp/"
                              "masactrl/pnp/invedit/pix2pix_zero)")
+    parser.add_argument("--inflight", type=int, default=1,
+                        help="Batches kept in flight while the next one is "
+                             "assembled (host IO overlaps device compute). "
+                             "0 = synchronous; use 0 under the axon relay, "
+                             "which does not release chip-side buffers of "
+                             "completed dispatches while a second program "
+                             "is queued")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh DATAxMODEL (e.g. 4x2) or DATA: "
                              "shard the edit batch over ICI data-parallel "

@@ -3,8 +3,9 @@
 bench.py measures the flagship editor in isolation; this script runs the same
 workload through the full production path instead — create_configs grid,
 PieBenchData parsing (per-sample ptp configs incl. LocalBlend words), the
-native threaded image loader, pair-batched editing with one batch in flight,
-PNG save, resume protocol, then the metrics driver — end to end on the real
+native threaded image loader, pair-batched editing (synchronous drain under
+the axon relay — see --inflight), PNG save, resume protocol, then the metrics
+driver — end to end on the real
 TPU chip, and reports imgs/min through the harness so the eval-loop overhead
 (host IO, decode, save) is measured rather than assumed.
 
@@ -71,6 +72,11 @@ def main():
     ap.add_argument("--metrics", nargs="*",
                     default=["mse", "ssim", "lpips", "clip_text",
                              "dinovitstruct"])
+    ap.add_argument("--inflight", type=int, default=0,
+                    help="eval.py pipelining depth; 0 (synchronous) under "
+                    "the axon relay — two 50-step programs in flight "
+                    "exhaust HBM via unreleased completed-dispatch buffers "
+                    "and crash the TPU worker")
     args = ap.parse_args()
 
     # persistent compile cache (shared with bench.py)
@@ -110,7 +116,7 @@ def main():
 
     print(f"=== eval.py on-chip: {args.samples} samples, batch {args.batch}")
     t0 = time.time()
-    eval_cli.run_eval(cfgs[0], batch=args.batch)
+    eval_cli.run_eval(cfgs[0], batch=args.batch, inflight=args.inflight)
     t_eval = time.time() - t0
 
     out = Path(cfgs[0]["path"])
@@ -118,7 +124,7 @@ def main():
 
     # resume protocol on-chip: a second run must skip every existing png
     t0 = time.time()
-    eval_cli.run_eval(cfgs[0], batch=args.batch)
+    eval_cli.run_eval(cfgs[0], batch=args.batch, inflight=args.inflight)
     t_resume = time.time() - t0
 
     print(f"=== compute_metrics.py on-chip: {args.metrics}")
