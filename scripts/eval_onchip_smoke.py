@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--model", default="sd15")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="compute dtype for the model config; the TPU-native "
+                    "dtype is bfloat16 (matches bench.py).  float32 at "
+                    "batch 8/50 steps exceeds the 16 GB chip (fp32 params + "
+                    "activations + attention stores) and crashes the TPU "
+                    "worker mid-program")
     ap.add_argument("--workdir", default="result/onchip_smoke_ws")
     ap.add_argument("--metrics", nargs="*",
                     default=["mse", "ssim", "lpips", "clip_text",
@@ -96,7 +102,7 @@ def main():
     cfg_dir.mkdir(parents=True, exist_ok=True)
     import yaml
     cfg = {
-        "model": [args.model],
+        "model": [{"type": args.model, "dtype": args.dtype}],
         "data": ["pie"],
         "edit_cfg": ["ptp_file"],
         "method": [{"type": "etainv", "num_inference_steps": args.steps,

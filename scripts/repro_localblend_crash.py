@@ -78,9 +78,16 @@ def main():
     t0 = time.time()
     res = edit_batch(editor, images, srcs, tgts, cfgs=cfgs,
                      inv_cfgs=inv_cfgs)
-    img = np.asarray(res["image"])  # blocking fetch — where the crash surfaced
-    print(f"OK: fetched {img.shape} {img.dtype} in {time.time()-t0:.1f}s, "
-          f"finite={np.isfinite(np.asarray(img, np.float32)).all()}")
+    if mode == "post":
+        # mirror eval.py save(): per-row postproc program + fetch
+        for j in range(batch):
+            out = post(res["image"][j])
+            print(f"row {j}: {out.shape} {out.dtype} mean={out.mean():.1f}")
+        print(f"OK: postproc path in {time.time()-t0:.1f}s")
+    else:
+        img = np.asarray(res["image"])  # blocking fetch — the crash point
+        print(f"OK: fetched {img.shape} {img.dtype} in {time.time()-t0:.1f}s, "
+              f"finite={np.isfinite(np.asarray(img, np.float32)).all()}")
 
 
 if __name__ == "__main__":
