@@ -68,6 +68,17 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         if not isinstance(model_cfg, dict):
             model_cfg = {"type": model_cfg}
         model_cfg = dict(model_cfg)
+        if "dtype" not in model_cfg:
+            import jax
+            if jax.devices()[0].platform != "cpu":
+                # TPU-native compute dtype.  The fp32 loader default at SD
+                # scale (4.3 GB params + fp32 activations/attention stores at
+                # batch 8) exceeds a 16 GB chip and faults the TPU worker
+                # mid-program; an explicit model: {type: ..., dtype: float32}
+                # in the yaml still wins.  Applied after create_configs, so
+                # result-tree directory names are unaffected.
+                model_cfg["dtype"] = "bfloat16"
+                print("model dtype unspecified on a TPU backend: using bfloat16")
         state["model"], (state["preproc"], state["postproc"]) = \
             load_diffusion_model(model_cfg.pop("type"), **model_cfg)
         if mesh_spec is not None:
