@@ -28,6 +28,15 @@ NEG_INF = -1e30
 
 LOG2E = 1.4426950408889634
 
+# Kernel matmuls pin DEFAULT precision explicitly: a global
+# jax_default_matmul_precision="highest" (set by utils.debug_utils.
+# enable_deterministic, which eval.py enables for parity with the reference's
+# use_deterministic_algorithms) would otherwise stamp contract_precision<fp32>
+# onto these bf16 MXU matmuls, which Mosaic rejects ("Bad lhs type").  For
+# bf16 operands DEFAULT is already the exact contraction — the MXU multiplies
+# bf16 inputs with fp32 accumulation — so this changes no numerics.
+_KERNEL_PREC = jax.lax.Precision.DEFAULT
+
 
 def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *,
                           scale: float):
@@ -39,11 +48,11 @@ def _flash_onepass_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *,
     q = q_ref[0]                      # (bq, D) bf16
     kt = kt_ref[0]                    # (D, S)
     v = v_ref[0]                      # (S, D)
-    s = jnp.dot(q, kt, preferred_element_type=jnp.float32) * (scale * LOG2E)
+    s = jnp.dot(q, kt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC) * (scale * LOG2E)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     if l_ref is not None:
         # scores were in the log2 domain: L_nat = (m + log2 l) / log2(e)
@@ -67,13 +76,13 @@ def _flash_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *, block_k: int,
         acc, m_prev, l_prev = carry
         kt = kt_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)  # (D, bk)
         v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kt, preferred_element_type=jnp.float32)  # (bq, bk)
+        s = jnp.dot(q, kt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)  # (bq, bk)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
         return acc, m_new, l_new
 
     acc = jnp.zeros((bq, d), jnp.float32)
@@ -148,11 +157,11 @@ def _flash_dq_kernel(q_ref, k_ref, kt_ref, vt_ref, do_ref, l_ref, d_ref,
         kt = kt_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         vt = vt_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         kk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kt, preferred_element_type=jnp.float32)   # scaled scores
+        s = jnp.dot(q, kt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)   # scaled scores
         p = jnp.exp(s - lse)
-        dp = jnp.dot(do, vt, preferred_element_type=jnp.float32)  # (bq, bk)
+        dp = jnp.dot(do, vt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)  # (bq, bk)
         ds = p * (dp - dvec)
-        return acc + jnp.dot(ds, kk, preferred_element_type=jnp.float32)
+        return acc + jnp.dot(ds, kk, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
 
     acc = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
@@ -176,12 +185,12 @@ def _flash_dkv_kernel(k_ref, v_ref, qt_ref, q_ref, dot_ref, do_ref, l_ref,
         do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         lse = l_ref[0, 0, pl.ds(qb * block_q, block_q)].reshape(1, -1)
         dvec = d_ref[0, 0, pl.ds(qb * block_q, block_q)].reshape(1, -1)
-        st = jnp.dot(k, qt, preferred_element_type=jnp.float32)  # (bk, bq)
+        st = jnp.dot(k, qt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)  # (bk, bq)
         pt = jnp.exp(st - lse)
-        dv_acc = dv_acc + jnp.dot(pt, do, preferred_element_type=jnp.float32)
-        dpt = jnp.dot(v, dot, preferred_element_type=jnp.float32)  # (bk, bq)
+        dv_acc = dv_acc + jnp.dot(pt, do, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
+        dpt = jnp.dot(v, dot, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)  # (bk, bq)
         dst = pt * (dpt - dvec)
-        dk_acc = dk_acc + jnp.dot(dst, qq, preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jnp.dot(dst, qq, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
         return dk_acc, dv_acc
 
     z = jnp.zeros((bk, d), jnp.float32)
@@ -307,13 +316,13 @@ def _flash_packed_kernel(q_ref, kt_ref, v_ref, o_ref, l_ref=None, *,
                         pl.ds(kb * block_k, block_k)].astype(jnp.float32)
             v = v_ref[0, pl.ds(kb * block_k, block_k),
                       h * d:(h + 1) * d].astype(jnp.float32)
-            s = jnp.dot(q, kt, preferred_element_type=jnp.float32)
+            s = jnp.dot(q, kt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
             m_cur = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m_prev - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
             return acc, m_new, l_new
 
         acc = jnp.zeros((bq, d), jnp.float32)
@@ -481,7 +490,7 @@ def _crossk_kernel(q_ref, kt_ref, v_ref, o_ref, *, sk: int, scale: float):
     key range fits one MXU pass, the score tile never leaves VMEM."""
     q = q_ref[0].astype(jnp.float32) * scale     # (bq, D)
     kt = kt_ref[0].astype(jnp.float32)           # (D, SKP)
-    s = jnp.dot(q, kt, preferred_element_type=jnp.float32)
+    s = jnp.dot(q, kt, preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
     skp = s.shape[-1]
     if sk < skp:
         mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < sk
@@ -489,7 +498,7 @@ def _crossk_kernel(q_ref, kt_ref, v_ref, o_ref, *, sk: int, scale: float):
     p = jax.nn.softmax(s, axis=-1)
     v = v_ref[0]                                 # (SKP, D)
     o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                       preferred_element_type=jnp.float32, precision=_KERNEL_PREC).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,

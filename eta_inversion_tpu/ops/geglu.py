@@ -31,6 +31,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Pin DEFAULT matmul precision inside the kernel: a global "highest" default
+# stamps contract_precision<fp32> onto bf16 MXU matmuls, which Mosaic rejects
+# (see ops/flash_attention._KERNEL_PREC; numerics identical for bf16 inputs).
+_KERNEL_PREC = jax.lax.Precision.DEFAULT
+
 # Odd minimax polynomial for erf on [-3, 3]: erf(z) ~ z * P(z^2), fit to
 # |err| <= 3.4e-5 incl. the saturation error from clamping at 3 (where
 # erf(3) = 0.999978).  Gelu abs error <= 2e-4 over the reals — far below the
@@ -68,11 +73,11 @@ def _block_rows(inner: int) -> int:
 
 def _geglu_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, inner: int):
     x = x_ref[...]                                       # (bn, C) bf16
-    s = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    s = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
     s = s + b1_ref[...].astype(jnp.float32)              # (bn, 2I)
     h, gate = s[:, :inner], s[:, inner:]
     a = (h * gelu_poly_f32(gate)).astype(x.dtype)        # (bn, I)
-    o = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32)
+    o = jnp.dot(a, w2_ref[...], preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
     o = o + b2_ref[...].astype(jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
 
