@@ -476,3 +476,28 @@ def test_sdxl_shape_kernel_dispatch():
     assert not (4 * 512 * 16384 * 2 <= 32 * 1024 * 1024)
     # latency mode (batch 1, rows=4): small-BH block_q
     assert flash_block_sizes(4 * 10, 4096, 64) == (512, 2048)
+
+
+def test_kernels_under_highest_matmul_precision():
+    """eval.py's enable_deterministic() sets jax_default_matmul_precision=
+    "highest"; kernel matmuls must pin an explicit precision so that global
+    never reaches Mosaic (which rejects contract_precision<fp32> on bf16
+    operands — 'Bad lhs type', found by the on-chip eval-harness smoke).
+    Guards the code path + numerics under the config; the Mosaic-level
+    rejection itself is only reachable on real TPU."""
+    import jax
+
+    from eta_inversion_tpu.ops.flash_attention import _KERNEL_PREC
+
+    assert _KERNEL_PREC == jax.lax.Precision.DEFAULT
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        q, k, v = _mk(2, 1024, 40)
+        scale = 40 ** -0.5
+        o = flash_attention_bhsd(q, k, v, scale=scale, block_q=512,
+                                 block_k=512, interpret=True)
+        np.testing.assert_allclose(np.asarray(o), _ref(q, k, v, scale),
+                                   rtol=2e-5, atol=2e-6)
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
