@@ -508,7 +508,10 @@ class DiffusionInversion:
             return None
         latent = inv_result["latents"][-1]
         if context is None:
-            context = self.create_context(prompt)
+            if isinstance(prompt, (list, tuple)):
+                context = [self.create_context(p) for p in prompt]
+            else:
+                context = self.create_context(prompt)
         if isinstance(context, list):
             n = len(context)
             context = self.cat_context(context)

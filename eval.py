@@ -12,6 +12,7 @@ CUDA_VISIBLE_DEVICES process pool).
 
 import argparse
 import gc
+import time
 from pathlib import Path
 
 import yaml
@@ -159,6 +160,7 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
 
         import jax.numpy as jnp
 
+        t_batch = time.monotonic()
         idxs, samples = zip(*pending)
         pending.clear()
         args = [sample_args(i, s) for i, s in zip(idxs, samples)]
@@ -180,6 +182,11 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         # of the same program are fine).
         in_flight.append((idxs, samples, res))
         drain_inflight(keep=max(int(inflight), 0))
+        # with inflight=0 the drain above is synchronous, so this is true
+        # wall time per batch (first batch includes compile/cache-load);
+        # with inflight>0 it measures dispatch+overlapped host IO only
+        print(f"batch [{idxs[0]}..{idxs[-1]}] wall {time.monotonic() - t_batch:.1f}s"
+              f" ({(time.monotonic() - t_batch) / len(idxs):.2f} s/img)")
 
     with stack:  # holds the device mesh when --mesh is set
         for i in range(len(data)):

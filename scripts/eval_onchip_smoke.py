@@ -76,7 +76,7 @@ def main():
                     "worker mid-program")
     ap.add_argument("--workdir", default="result/onchip_smoke_ws")
     ap.add_argument("--metrics", nargs="*",
-                    default=["mse", "ssim", "lpips", "clip_text",
+                    default=["mse", "ssim", "lpips", "clip_text_img",
                              "dinovitstruct"])
     ap.add_argument("--inflight", type=int, default=0,
                     help="eval.py pipelining depth; 0 (synchronous) under "
