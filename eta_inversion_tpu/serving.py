@@ -70,10 +70,19 @@ class BatchingEditServer:
     """
 
     def __init__(self, editor, max_batch: int = 8, max_wait_ms: float = 50.0,
-                 buckets: Sequence[int] = (1, 2, 4, 8)):
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 sync_dispatch: bool = False):
         self.editor = editor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # sync_dispatch: block the dispatch thread until the group's program
+        # has finished on-device before taking the next group.  JAX dispatch
+        # is asynchronous, so by default batch N+1's edit program can be in
+        # flight while batch N's outputs are still unfetched — the throughput
+        # mode.  Under the axon relay two 50-step edit programs in flight
+        # exhaust HBM (completed-dispatch chip buffers are not released while
+        # a second program is queued; same constraint as eval.py --inflight 0).
+        self.sync_dispatch = bool(sync_dispatch)
         self.buckets = sorted(set(int(b) for b in buckets))
         assert self.buckets and self.buckets[0] >= 1
         assert self.max_batch <= self.buckets[-1], \
@@ -199,6 +208,12 @@ class BatchingEditServer:
                              [r.target_prompt for r in reqs],
                              cfgs=[r.cfg for r in reqs],
                              inv_cfgs=[r.inv_cfg for r in reqs])
+        if res is not None and self.sync_dispatch:
+            # Force completion by fetching one scalar (block_until_ready is
+            # unreliable under axon); the full arrays stay on device so the
+            # futures still get device slices and the uint8 fast path.
+            import numpy as _np
+            _np.asarray(res["image"][0, 0, 0])
         for i, r in enumerate(group):
             if res is None:  # unsupported combo — Editor.edit's None contract
                 r.future.set_result(None)

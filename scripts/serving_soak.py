@@ -1,120 +1,142 @@
-"""On-chip soak of the dynamic-batching serving tier.
+"""On-chip soak of the dynamic-batching serving tier (serve.py).
 
-Drives BatchingEditServer (eta_inversion_tpu/serving.py) with a Poisson-ish
-concurrent arrival process on the REAL chip and records the realized batch
-statistics — how well the batcher turns single-request arrivals into the
-bucketed compiled programs that amortize per-step fixed costs.  Counterpart
-evidence for the serving claim: the reference's only serving surface is the
-one-request-at-a-time Gradio demo (/root/reference/demo/manager.py:160-210).
+Fires N concurrent edit requests at a running serve.py instance from M
+client threads (Poisson-ish arrivals via a small stagger), collects
+per-request latency, then snapshots /v1/stats to record the realized batch
+sizes the dynamic batcher actually formed under load — the evidence the
+serving tier coalesces concurrent traffic into the bucketed compiled
+programs instead of running one edit per request (the reference's demo
+serves strictly one at a time, /root/reference/demo/manager.py:160-210).
 
-Usage: python scripts/serving_soak.py [--requests 16] [--steps 50]
-       [--model sd15] [--max-wait-ms 2000]
-Writes one summary JSON line (append it to docs/bench/).
+Usage:
+  # terminal 1 (holds the chip):
+  python serve.py --model sd15 --inverter etainv --editor ptp --steps 50 \
+      --max_batch 8 --max_wait_ms 2000 --sync_dispatch --port 8013
+  # terminal 2:
+  python scripts/serving_soak.py --port 8013 --requests 24 --concurrency 12
+
+Prints one summary JSON line.
 """
 
 import argparse
+import base64
+import io
 import json
-import os
-import sys
 import threading
 import time
-from pathlib import Path
+import urllib.request
 
 import numpy as np
 
-REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
+
+def make_png(seed: int, size: int) -> bytes:
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    buf = io.BytesIO()
+    Image.fromarray((rs.rand(size, size, 3) * 255).astype(np.uint8)).save(
+        buf, "PNG")
+    return buf.getvalue()
+
+
+def multipart(fields: dict) -> tuple:
+    bound = "soakboundary7f3a"
+    out = io.BytesIO()
+    for name, val in fields.items():
+        out.write(f"--{bound}\r\n".encode())
+        if isinstance(val, bytes):
+            out.write(f'Content-Disposition: form-data; name="{name}"; '
+                      f'filename="img.png"\r\n'
+                      f"Content-Type: image/png\r\n\r\n".encode())
+            out.write(val)
+        else:
+            out.write(f'Content-Disposition: form-data; name="{name}"'
+                      f"\r\n\r\n".encode())
+            out.write(str(val).encode())
+        out.write(b"\r\n")
+    out.write(f"--{bound}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={bound}"
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--requests", type=int, default=16)
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--model", default="sd15")
-    ap.add_argument("--max-wait-ms", type=float, default=2000.0,
-                    help="batching window; edits take seconds, so a "
-                    "~2s window trades little latency for full buckets")
-    ap.add_argument("--stagger-ms", type=float, default=150.0,
-                    help="mean inter-arrival gap of the synthetic clients")
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (smoke-testing the soak "
-                    "harness itself; the axon site hook ignores JAX_PLATFORMS)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8013)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--concurrency", type=int, default=12)
+    ap.add_argument("--image_size", type=int, default=512)
+    ap.add_argument("--stagger_ms", type=float, default=100.0,
+                    help="delay between request launches inside a wave")
+    ap.add_argument("--timeout_s", type=float, default=3600.0)
     args = ap.parse_args()
+    base = f"http://{args.host}:{args.port}"
 
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE",
-                               os.path.expanduser("~/.cache/eta_tpu_jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    except Exception:
-        pass
+    # wait for the model to come up
+    deadline = time.time() + args.timeout_s
+    while True:
+        try:
+            urllib.request.urlopen(base + "/healthz", timeout=5)
+            break
+        except Exception:
+            if time.time() > deadline:
+                raise SystemExit("server never became healthy")
+            time.sleep(5)
 
-    from eta_inversion_tpu import load_editor, load_inverter
-    from eta_inversion_tpu.models import load_diffusion_model
-    from eta_inversion_tpu.serving import BatchingEditServer, EditRequest
+    pairs = [("cat", "tiger"), ("dog", "wolf"), ("car", "truck"),
+             ("house", "castle")]
+    latencies = [None] * args.requests
+    errors = []
+    sem = threading.Semaphore(args.concurrency)
 
-    model, _ = load_diffusion_model(args.model, dtype="bfloat16")
-    inv = load_inverter(model, "etainv", num_inference_steps=args.steps,
-                        eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=10)
-    editor = load_editor(inv, "ptp")
-    server = BatchingEditServer(editor, max_batch=8,
-                                max_wait_ms=args.max_wait_ms)
+    def one(i: int) -> None:
+        with sem:
+            src, tgt = pairs[i % len(pairs)]
+            body, ctype = multipart({
+                "image": make_png(i, args.image_size),
+                "source_prompt": f"a {src} sitting in a garden",
+                "target_prompt": f"a {tgt} sitting in a garden",
+            })
+            req = urllib.request.Request(
+                base + "/v1/edit", data=body,
+                headers={"Content-Type": ctype})
+            t0 = time.monotonic()
+            try:
+                with urllib.request.urlopen(req, timeout=args.timeout_s) as r:
+                    payload = json.loads(r.read())
+                png = base64.b64decode(payload["image"])
+                assert png[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+                latencies[i] = time.monotonic() - t0
+            except Exception as e:  # noqa: BLE001 - soak records all failures
+                errors.append(f"[{i}] {type(e).__name__}: {e}")
 
-    rs = np.random.RandomState(0)
-    size = model.image_size
-    cfg = {"is_replace_controller": True, "cross_replace_steps": 0.8,
-           "self_replace_steps": 0.5}
-
-    # warmup: compile the bucket programs the soak will hit (1 and 8)
-    img = rs.rand(size, size, 3).astype("float32") * 2 - 1
-    t0 = time.time()
-    server.edit(img, "a cat by a window", "a dog by a window", cfg=cfg,
-                inv_cfg={"edit_word_idx": (1, 1)})
-    print(f"# warmup bucket-1: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    lat = []
-    lock = threading.Lock()
-
-    def client(i):
-        im = rs.rand(size, size, 3).astype("float32") * 2 - 1
-        t = time.monotonic()
-        fut = server.submit(EditRequest(im, f"a cat number {i}",
-                                        f"a tiger number {i}", cfg=cfg,
-                                        inv_cfg={"edit_word_idx": (1, 1)}))
-        res = fut.result(timeout=3600)
-        with lock:
-            lat.append(time.monotonic() - t)
-        assert np.asarray(res["image"]).shape[-1] == 3
-
-    t0 = time.time()
+    t_start = time.monotonic()
     threads = []
     for i in range(args.requests):
-        th = threading.Thread(target=client, args=(i,))
-        th.start()
-        threads.append(th)
-        time.sleep(rs.exponential(args.stagger_ms / 1000.0))
-    for th in threads:
-        th.join()
-    wall = time.time() - t0
+        t = threading.Thread(target=one, args=(i,))
+        t.start()
+        threads.append(t)
+        time.sleep(args.stagger_ms / 1000.0)
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t_start
 
-    stats = server.stats_snapshot()
-    server.shutdown()
-    lat = sorted(lat)
+    with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+
+    done = [l for l in latencies if l is not None]
     summary = {
-        "metric": "serving_soak_edits_per_min",
-        "value": round(args.requests / wall * 60, 2),
-        "unit": "edits/min",
+        "metric": "serving_soak_req_per_min",
+        "value": round(len(done) / wall * 60, 2),
+        "unit": "req/min",
         "requests": args.requests,
+        "completed": len(done),
+        "errors": errors[:5],
+        "concurrency": args.concurrency,
         "wall_s": round(wall, 1),
-        "p50_latency_s": round(lat[len(lat) // 2], 2),
-        "p95_latency_s": round(lat[int(len(lat) * 0.95) - 1], 2),
-        "dispatch_sizes": stats.get("dispatch_sizes"),
-        "dispatched_batches": stats.get("batches"),
-        "mean_batch": round(stats.get("mean_batch", 0), 2),
-        "padded_slots": stats.get("padded_slots"),
+        "latency_p50_s": round(float(np.percentile(done, 50)), 2) if done else None,
+        "latency_p95_s": round(float(np.percentile(done, 95)), 2) if done else None,
+        "latency_max_s": round(max(done), 2) if done else None,
+        "server_stats": stats,
     }
     print(json.dumps(summary))
 

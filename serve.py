@@ -43,7 +43,9 @@ def build_server(args):
     editor = load_editor(inverter, args.editor)
     buckets = tuple(sorted({1, 2, 4, args.max_batch}))
     server = BatchingEditServer(editor, max_batch=args.max_batch,
-                                max_wait_ms=args.max_wait_ms, buckets=buckets)
+                                max_wait_ms=args.max_wait_ms, buckets=buckets,
+                                sync_dispatch=getattr(args, "sync_dispatch",
+                                                      False))
     return server, pre, post
 
 
@@ -133,6 +135,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--max_wait_ms", type=float, default=50.0)
+    ap.add_argument("--sync_dispatch", action="store_true",
+                    help="drain each batch on-device before dispatching the "
+                    "next (required under the axon relay, whose HBM fills if "
+                    "two 50-step edit programs are in flight; default off = "
+                    "pipelined throughput mode)")
     ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args()
 
