@@ -438,21 +438,36 @@ class StablePostProc:
 
     _jitted = None
 
+    @classmethod
+    def _to_u8(cls):
+        if cls._jitted is None:
+            import jax.numpy as jnp
+
+            @jax.jit
+            def to_u8(x):
+                x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                return jnp.round(x * 255.0).astype(jnp.uint8)
+
+            cls._jitted = to_u8
+        return cls._jitted
+
     def __call__(self, image) -> np.ndarray:
         if isinstance(image, jax.Array):
-            if StablePostProc._jitted is None:
-                import jax.numpy as jnp
-
-                @jax.jit
-                def to_u8(x):
-                    x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
-                    return jnp.round(x * 255.0).astype(jnp.uint8)
-
-                StablePostProc._jitted = to_u8
-            x = np.asarray(StablePostProc._jitted(image))
+            x = np.asarray(StablePostProc._to_u8()(image))
             return x[0] if x.ndim == 4 else x
         x = np.asarray(jax.device_get(image), dtype=np.float32)
         if x.ndim == 4:
             x = x[0]
+        x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
+        return (x * 255.0).round().astype(np.uint8)
+
+    def batch(self, images) -> np.ndarray:
+        """(N,H,W,C) [-1,1] -> (N,H,W,C) uint8 in ONE device program + ONE
+        host fetch.  __call__ slices batches to the first image (its contract
+        is one edit); batched callers (eval.py's save loop) were paying N
+        separate ~100 ms relay fetches per batch without this."""
+        if isinstance(images, jax.Array):
+            return np.asarray(StablePostProc._to_u8()(images))
+        x = np.asarray(jax.device_get(images), dtype=np.float32)
         x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
         return (x * 255.0).round().astype(np.uint8)

@@ -138,11 +138,19 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
                    "mask": sample.get("mask")}
         return image, edit_cfg, inv_cfg
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    png_pool = ThreadPoolExecutor(max_workers=4)  # zlib encode releases the GIL
+    png_futs = []
+
+    def _encode(out, path_str, i):
+        Image.fromarray(out).save(path_str)
+        print(f"[{i}] saved {path_str}")
+
     def save(sample, image_arr, i):
         out = state["postproc"](image_arr)
         Path(sample["edit_image_file"]).parent.mkdir(parents=True, exist_ok=True)
-        Image.fromarray(out).save(sample["edit_image_file"])
-        print(f"[{i}] saved {sample['edit_image_file']}")
+        _encode(out, sample["edit_image_file"], i)
 
     pending = []  # (i, sample) batch accumulator
     in_flight = []  # dispatched-but-unsaved device batches
@@ -150,8 +158,18 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
     def drain_inflight(keep: int = 0):
         while len(in_flight) > keep:
             idxs, samples, res = in_flight.pop(0)
+            # one device program + one host fetch for the whole batch (the
+            # per-slice path costs N separate ~100 ms relay round trips)
+            u8 = state["postproc"].batch(res["image"])
             for j, (i, s) in enumerate(zip(idxs, samples)):
-                save(s, res["image"][j], i)  # blocks on the device here
+                Path(s["edit_image_file"]).parent.mkdir(parents=True,
+                                                        exist_ok=True)
+                png_futs.append(png_pool.submit(
+                    _encode, u8[j], s["edit_image_file"], i))
+            # surface finished encodes' errors and keep the list bounded
+            for f in [f for f in png_futs if f.done()]:
+                f.result()
+            png_futs[:] = [f for f in png_futs if not f.done()]
 
     def flush_batch():
         if not pending:
@@ -161,6 +179,8 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         import jax.numpy as jnp
 
         t_batch = time.monotonic()
+        gc.collect()  # once per batch, not per sample (collects are ~0.1 s
+        # each over a heap holding big device buffers)
         idxs, samples = zip(*pending)
         pending.clear()
         args = [sample_args(i, s) for i, s in zip(idxs, samples)]
@@ -194,7 +214,8 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
             if sample is None:
                 continue  # resume: output exists
             ensure_loaded()
-            gc.collect()
+            if batch <= 1:
+                gc.collect()
 
             if batch > 1:
                 prefetch(i, sample)
@@ -229,6 +250,9 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
             else:
                 save(sample, res["image"], i)
 
+        for f in png_futs:
+            f.result()  # join + surface encode errors before resume/return
+        png_pool.shutdown()
         if loader_state["loader"] is not None:
             loader_state["loader"].close()
 
