@@ -555,7 +555,22 @@ class DiffusionInversion:
         return shard_batch(x)
 
     def _cached(self, tag: str, extra_key: Tuple, fn):
-        key = (tag, self.config_key(), extra_key)
+        # The attention dispatchers consult trace-time contexts
+        # (parallel/ring_attention.sequence_parallel, parallel/sharding mesh)
+        # that jax.jit's own cache key cannot see: identical avals trace to
+        # DIFFERENT programs inside vs outside the context.  Fold a static
+        # fingerprint of the active contexts into the key so a program traced
+        # outside `sequence_parallel(mesh)` is never reused inside it (and
+        # vice versa) — ADVICE r4 medium.
+        from ..parallel.ring_attention import active_sequence_parallel
+        from ..parallel.sharding import active_data_mesh
+
+        sp = active_sequence_parallel()
+        sp_key = None if sp is None else (
+            sp.axis, sp.batch_axis, sp.min_seq, tuple(sorted(sp.mesh.shape.items())))
+        mesh = active_data_mesh()
+        mesh_key = None if mesh is None else tuple(sorted(mesh.shape.items()))
+        key = (tag, self.config_key(), extra_key, sp_key, mesh_key)
         cached = _COMPILE_CACHE.get(key)
         if cached is None:
             cached = jax.jit(fn)

@@ -570,12 +570,16 @@ _XLA_SCORE_BUDGET = 256 * 1024 * 1024
 
 
 def _chunk_size(sq: int, rows: int) -> int:
-    """Largest power-of-two q-chunk dividing sq whose score slab fits the
-    budget (>= 256 rows so the MXU still sees full tiles)."""
-    c = 1 << (sq.bit_length() - 1)
-    while c > 256 and (sq % c != 0 or rows * c * 4 > _XLA_SCORE_BUDGET):
-        c //= 2
-    return c
+    """Largest q-chunk dividing sq whose score slab fits the budget.
+
+    Any divisor is admissible, not just powers of two (ADVICE r4: an sq with
+    no power-of-two divisor >= 256 used to silently fall back to the UNCHUNKED
+    path and materialize the multi-GB score tensor the budget guards against).
+    Prefers chunks >= 256 so the MXU still sees full tiles, but takes a
+    smaller divisor over blowing the budget."""
+    fits = [c for c in range(1, sq + 1)
+            if sq % c == 0 and rows * c * 4 <= _XLA_SCORE_BUDGET]
+    return max(fits) if fits else 1
 
 
 def xla_attention_chunked(q, k, v, scale: float, chunk: int):

@@ -185,6 +185,20 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         pending.clear()
         args = [sample_args(i, s) for i, s in zip(idxs, samples)]
         images = jnp.concatenate([a[0] for a in args], axis=0)
+        t_asm = time.monotonic()
+        # Host/device overlap under the axon relay's one-big-program-in-flight
+        # constraint (two 50-step edit programs queued exhaust chip-side HBM
+        # buffers): fetch the PREVIOUS batch's outputs here — AFTER this
+        # batch's host assembly (image decode, cfg merge) overlapped the
+        # previous program's device run, BEFORE this batch dispatches.  PNG
+        # encodes submitted by the drain then run on pool threads while this
+        # batch's program runs.  inflight=1 (default) = exactly this;
+        # inflight=0 = fully synchronous (drain right after dispatch);
+        # inflight>=2 = old pipelined mode (N programs genuinely queued —
+        # crashes the axon relay, fine on a directly attached chip).
+        if inflight > 0:
+            drain_inflight(keep=int(inflight) - 1)
+        t_drain = time.monotonic()
         res = edit_batch(state["editor"], images,
                          [s["source_prompt"] for s in samples],
                          [s["edit"]["target_prompt"] for s in samples],
@@ -193,65 +207,71 @@ def run_eval(cfg, override=False, skip_existing_dirs=False, batch: int = 1,
         if res is None:
             print(f"batch {idxs}: combination unsupported, skipping")
             return
-        # JAX dispatch is asynchronous: keep `inflight` batches in flight so
-        # the next batch's host IO (native loader) and assembly overlap device
-        # compute.  inflight=0 drains synchronously — needed under the axon
-        # relay, whose chip-side buffers from completed dispatches are not
-        # released while a second program is queued (two 50-step edit programs
-        # in flight exhaust HBM and crash the TPU worker; single-dispatch runs
-        # of the same program are fine).
         in_flight.append((idxs, samples, res))
-        drain_inflight(keep=max(int(inflight), 0))
-        # with inflight=0 the drain above is synchronous, so this is true
-        # wall time per batch (first batch includes compile/cache-load);
-        # with inflight>0 it measures dispatch+overlapped host IO only
-        print(f"batch [{idxs[0]}..{idxs[-1]}] wall {time.monotonic() - t_batch:.1f}s"
-              f" ({(time.monotonic() - t_batch) / len(idxs):.2f} s/img)")
+        if inflight == 0:
+            drain_inflight(keep=0)
+        t_end = time.monotonic()
+        # steady state: wall ~= previous batch's device time + this batch's
+        # dispatch; asm/dispatch are the serial host costs, drain is the wait
+        print(f"batch [{idxs[0]}..{idxs[-1]}] wall {t_end - t_batch:.1f}s"
+              f" ({(t_end - t_batch) / len(idxs):.2f} s/img;"
+              f" asm {t_asm - t_batch:.2f}s drain {t_drain - t_asm:.2f}s"
+              f" dispatch {t_end - t_drain:.2f}s)")
 
-    with stack:  # holds the device mesh when --mesh is set
-        for i in range(len(data)):
-            sample = data[i]
-            if sample is None:
-                continue  # resume: output exists
-            ensure_loaded()
-            if batch <= 1:
-                gc.collect()
+    try:
+        with stack:  # holds the device mesh when --mesh is set
+            for i in range(len(data)):
+                sample = data[i]
+                if sample is None:
+                    continue  # resume: output exists
+                ensure_loaded()
+                if batch <= 1:
+                    gc.collect()
 
-            if batch > 1:
-                prefetch(i, sample)
-                pending.append((i, sample))
-                if len(pending) == batch:
-                    flush_batch()
-                continue
+                if batch > 1:
+                    prefetch(i, sample)
+                    pending.append((i, sample))
+                    if len(pending) == batch:
+                        flush_batch()
+                    continue
 
-            image, edit_cfg, inv_cfg = sample_args(i, sample)
-            res = state["editor"].edit(image, sample["source_prompt"],
-                                       sample["edit"]["target_prompt"], cfg=edit_cfg,
-                                       inv_cfg=inv_cfg)
-            if res is None:
-                print(f"[{i}] combination unsupported, skipping")
-                continue
-            save(sample, res["image"], i)
-
-        drain_inflight()
-        # trailing partial batch runs per-sample to keep compiled shapes stable —
-        # a real perf cliff (~batch x slower per image), so say so out loud
-        if pending:
-            print(f"tail of {len(pending)} sample(s) < batch {batch}: falling back "
-                  f"to per-sample edits (slower; pad the dataset to a multiple of "
-                  f"the batch to avoid this)")
-        for i, sample in pending:
-            image, edit_cfg, inv_cfg = sample_args(i, sample)
-            res = state["editor"].edit(image, sample["source_prompt"],
-                                       sample["edit"]["target_prompt"], cfg=edit_cfg,
-                                       inv_cfg=inv_cfg)
-            if res is None:
-                print(f"[{i}] combination unsupported, skipping")
-            else:
+                image, edit_cfg, inv_cfg = sample_args(i, sample)
+                res = state["editor"].edit(image, sample["source_prompt"],
+                                           sample["edit"]["target_prompt"],
+                                           cfg=edit_cfg, inv_cfg=inv_cfg)
+                if res is None:
+                    print(f"[{i}] combination unsupported, skipping")
+                    continue
                 save(sample, res["image"], i)
 
+            drain_inflight()
+            # trailing partial batch runs per-sample to keep compiled shapes
+            # stable — a real perf cliff (~batch x slower per image), so say
+            # so out loud
+            if pending:
+                print(f"tail of {len(pending)} sample(s) < batch {batch}: "
+                      f"falling back to per-sample edits (slower; pad the "
+                      f"dataset to a multiple of the batch to avoid this)")
+            for i, sample in pending:
+                image, edit_cfg, inv_cfg = sample_args(i, sample)
+                res = state["editor"].edit(image, sample["source_prompt"],
+                                           sample["edit"]["target_prompt"],
+                                           cfg=edit_cfg, inv_cfg=inv_cfg)
+                if res is None:
+                    print(f"[{i}] combination unsupported, skipping")
+                else:
+                    save(sample, res["image"], i)
+        # success path: join + surface encode errors before resume/return
         for f in png_futs:
-            f.result()  # join + surface encode errors before resume/return
+            f.result()
+    finally:
+        # even when an edit/drain raised mid-run, join the pending encodes and
+        # release the pool/loader (otherwise futures are abandoned with their
+        # exceptions never surfaced and a 4-thread pool leaks per grid config
+        # — ADVICE r4); print-not-raise so the original exception propagates
+        for f in png_futs:
+            if f.exception() is not None:
+                print(f"png encode failed: {f.exception()!r}")
         png_pool.shutdown()
         if loader_state["loader"] is not None:
             loader_state["loader"].close()
@@ -289,12 +309,14 @@ if __name__ == "__main__":
                              "program (supported editors: simple/ptp/"
                              "masactrl/pnp/invedit/pix2pix_zero)")
     parser.add_argument("--inflight", type=int, default=1,
-                        help="Batches kept in flight while the next one is "
-                             "assembled (host IO overlaps device compute). "
-                             "0 = synchronous; use 0 under the axon relay, "
-                             "which does not release chip-side buffers of "
-                             "completed dispatches while a second program "
-                             "is queued")
+                        help="Batches kept in flight. 1 (default) = fetch the "
+                             "previous batch only after assembling the next "
+                             "one, so host IO overlaps device compute with at "
+                             "most ONE big program queued (safe under the "
+                             "axon relay); 0 = fully synchronous; >=2 = "
+                             "genuinely pipelined dispatches (crashes the "
+                             "axon relay's chip-side buffer accounting, fine "
+                             "on a directly attached chip)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh DATAxMODEL (e.g. 4x2) or DATA: "
                              "shard the edit batch over ICI data-parallel "

@@ -38,27 +38,58 @@ GOLDENS_PATH = pathlib.Path(__file__).parent / "goldens.json"
 _SHARD_ENV = "ETA_TPU_TEST_SHARD_CHILD"
 
 
-def _collect_module_paths(args):
-    """Positional args -> the list of test modules they cover (or None if the
-    invocation is already narrow enough to run in one process)."""
+# pytest options that consume the NEXT argv entry as their value when given
+# space-separated (`-k expr`).  Their value must stay paired with the flag and
+# must not be mistaken for a positional test path.
+_VALUE_OPTS = {
+    "-k", "-m", "-p", "-o", "-W", "-c", "-n", "-r",
+    "--deselect", "--ignore", "--rootdir", "--confcutdir", "--basetemp",
+    "--junitxml", "--maxfail", "--tb", "--durations", "--timeout",
+    "--import-mode", "--log-level", "--log-cli-level", "--cache-dir",
+}
+
+
+def _split_args(args):
+    """Split pytest argv into (flags, positional test paths).
+
+    Value-taking options keep their space-separated argument attached to the
+    flags list (ADVICE r4: `pytest tests/ -k expr` used to strip `expr`,
+    making every shard child die with 'expected one argument').
+    """
     import os as _os
 
+    flags, paths = [], []
+    it = iter(args)
+    for a in it:
+        if a.startswith("-"):
+            flags.append(a)
+            if "=" not in a and a in _VALUE_OPTS:
+                try:
+                    flags.append(next(it))
+                except StopIteration:
+                    pass
+            continue
+        if _os.path.exists(a.split("::", 1)[0]):
+            paths.append(a)
+        else:
+            # unknown non-path positional (could be a value of an option we
+            # don't know): pass it through to every child rather than drop it
+            flags.append(a)
+    return flags, paths
+
+
+def _collect_module_paths(paths):
+    """Positional test paths -> the list of test modules they cover (or None
+    if the invocation is already narrow enough to run in one process)."""
     here = pathlib.Path(__file__).parent
     files = []
-    saw_positional = False
-    for a in args:
-        if a.startswith("-"):
-            continue
-        path = a.split("::", 1)[0]
-        if not _os.path.exists(path):
-            continue
-        saw_positional = True
-        p = pathlib.Path(path)
+    for a in paths:
+        p = pathlib.Path(a.split("::", 1)[0])
         if p.is_dir():
             files.extend(sorted(p.glob("test_*.py")))
         else:
             files.append(p)
-    if not saw_positional:  # bare `pytest` -> whole tests/ dir
+    if not paths:  # bare `pytest` -> whole tests/ dir
         files = sorted(here.glob("test_*.py"))
     uniq = sorted({str(f) for f in files})
     return uniq if len(uniq) > 3 else None
@@ -70,14 +101,14 @@ def pytest_cmdline_main(config):
     if _os.environ.get(_SHARD_ENV):
         return None  # already inside a shard subprocess
     raw = list(config.invocation_params.args)
-    modules = _collect_module_paths(raw)
+    flags, paths = _split_args(raw)
+    modules = _collect_module_paths(paths)
     if modules is None:
         return None  # narrow run: normal in-process pytest
 
     import subprocess
     import sys
 
-    flags = [a for a in raw if a.startswith("-")]
     stop_on_fail = "-x" in flags or "--exitfirst" in flags
     env = dict(_os.environ, **{_SHARD_ENV: "1"})
     print(f"[conftest] sharding {len(modules)} test modules into one pytest "

@@ -501,3 +501,41 @@ def test_kernels_under_highest_matmul_precision():
                                    rtol=2e-5, atol=2e-6)
     finally:
         jax.config.update("jax_default_matmul_precision", prev)
+
+
+def test_attention_dispatch_chunks_non_pow2_seq(monkeypatch):
+    """ADVICE r4 (low): an over-budget score tensor whose sq has no
+    power-of-two divisor >= 256 (e.g. sq = 3 * 4096 = 12288 ... or a truly odd
+    sq like 10000) must STILL be chunked — any divisor of sq is admissible.
+    Previously the dispatcher silently fell back to the unchunked path and
+    materialized the slab the budget exists to prevent."""
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "on_tpu", lambda: True)
+    called = {}
+    real = fa.xla_attention_chunked
+
+    def spy(q, k, v, scale, chunk):
+        called["chunk"] = chunk
+        return real(q, k, v, scale, chunk)
+
+    monkeypatch.setattr(fa, "xla_attention_chunked", spy)
+    rs = np.random.RandomState(13)
+    sq = 10000  # divisors: 2^4 * 5^4 — largest pow2 divisor is 16
+    # rows * chunk * 4 <= 256 MB with rows = b*h*sk = 10000
+    # -> chunk <= 6710; largest divisor of 10000 below that is 5000
+    q = jnp.asarray(rs.randn(1, 1, sq, 8), jnp.bfloat16)
+    o = fa.attention(q, q * 0.5, q * 0.25, min_flash_seq=1 << 30)
+    assert o.shape == q.shape
+    assert called["chunk"] == 5000, called
+    assert 1 * 1 * sq * called["chunk"] * 4 <= fa._XLA_SCORE_BUDGET
+
+
+def test_chunk_size_always_respects_budget():
+    import eta_inversion_tpu.ops.flash_attention as fa
+
+    for sq in (257, 4096, 9216, 10000, 12288, 16384, 65536):
+        for rows in (1024, 10000, 16384, 1 << 20):
+            c = fa._chunk_size(sq, rows)
+            assert sq % c == 0
+            assert rows * c * 4 <= fa._XLA_SCORE_BUDGET or c == 1

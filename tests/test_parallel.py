@@ -341,3 +341,32 @@ def test_ring_attention_wired_into_unet_at_sdxl_top_stage():
     assert len(calls) == 3, calls
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_engine_compile_cache_keys_on_parallel_contexts(tiny_model):
+    """ADVICE r4 (medium): DiffusionInversion._cached keyed only on
+    config/shapes, so a program traced OUTSIDE `sequence_parallel` (or a data
+    mesh) was silently reused INSIDE it — the ring never ran.  The cache key
+    must now fold a static fingerprint of the active trace-time contexts."""
+    from eta_inversion_tpu.parallel import ring_attention as ra
+
+    inv = DiffusionInversion(tiny_model, num_inference_steps=2)
+
+    def fn(x):
+        return x + 1.0
+
+    plain = inv._cached("ctx_key_probe", (), fn)
+    mesh = make_mesh(8, model_parallel=4)
+    with mesh, ra.sequence_parallel(mesh, axis="model", min_seq=4096):
+        inside = inv._cached("ctx_key_probe", (), fn)
+        # different min_seq -> different static program
+        with ra.sequence_parallel(mesh, axis="model", min_seq=1024):
+            inside2 = inv._cached("ctx_key_probe", (), fn)
+    with mesh:  # data mesh only, no ring
+        meshed = inv._cached("ctx_key_probe", (), fn)
+    again = inv._cached("ctx_key_probe", (), fn)
+
+    assert plain is again  # same context -> cache hit
+    assert inside is not plain
+    assert inside2 is not inside
+    assert meshed is not plain and meshed is not inside
