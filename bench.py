@@ -13,13 +13,84 @@ eta-inversion candidate-noise selection.
 Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
 BENCH_CONFIG=etainv_ptp|diffinv_simple|nti_simple|ddpminv_ptp|
 regdiffinv_simple, BENCH_BATCH (default 8; 1 = pure latency mode),
-BENCH_MODEL (default sd15; sd21 = second model family, SD2.x geometry).
+BENCH_MODEL (default sd15; sd21 = second model family, SD2.x geometry),
+BENCH_NO_SRC_BWD=1 (serving mode: skip the source-reconstruction denoise rows,
+editor no_source_backward — halves the backward batch; the edited image is
+identical in distribution but no reconstruction output is produced),
+BENCH_MFU=0 to skip the cost-model fields.
 """
 
 import json
 import os
 import sys
 import time
+
+
+def _mfu_fields(inverter, model, config, batch, steps, per_edit, no_src_bwd):
+    """Algorithmic-model-FLOPs MFU via the HLO cost model (lowering only, no
+    compile).  Convention: counts the UNet/VAE work the ALGORITHM requires at
+    the dispatched shapes (CFG = 2x rows); engine optimizations (CFG
+    shared-prefix dedup) mean hardware counters would read slightly lower.
+    Controller/scheduler arithmetic (<1% of FLOPs) and text embedding are
+    excluded.  nti's inner while_loop has a data-dependent trip count -> null.
+    """
+    nulls = {"tflop_per_edit": None, "tflops_per_s": None, "mfu_vs_197tf": None}
+    if config.startswith("nti"):
+        return nulls
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from eta_inversion_tpu.models.vae import AutoencoderKL
+        from eta_inversion_tpu.utils.profiling import V5E_PEAK_FLOPS, lowered_cost
+
+        ucfg = model.preset.unet
+        s, size = model.latent_size, model.image_size
+        T = ucfg.context_tokens + (1 if ucfg.addition_embed else 0)
+        D = ucfg.cross_attention_dim
+        dt = model.dtype
+        pshape = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), model.params)
+
+        def unet_fn(params, z, ctx):
+            return model.unet.apply({"params": params["unet"]}, z, 500, ctx)
+
+        def enc_fn(params, x):
+            return model.vae.apply({"params": params["vae"]}, x,
+                                   method=AutoencoderKL.encode)
+
+        def dec_fn(params, z):
+            return model.vae.apply({"params": params["vae"]}, z,
+                                   method=AutoencoderKL.decode)
+
+        def unet_flops(rows):
+            return lowered_cost(
+                unet_fn, pshape,
+                jax.ShapeDtypeStruct((rows, s, s, ucfg.in_channels), dt),
+                jax.ShapeDtypeStruct((rows, T, D), dt))["flops"]
+
+        B = batch
+        R = B if no_src_bwd else 2 * B  # denoise rows ([src,tgt] pairs or tgt)
+        S_fwd = len(inverter.forward_timesteps())
+        S_bwd = len(inverter.backward_timesteps({}))
+        # forward CFG structure: diffinv/etainv run the cond branch only
+        # (scalar guidance 1 fast path); ddpminv (3.5) / regdiffinv (2->1
+        # table) run the full 2-row CFG batch
+        fwd_rows = 2 * B if config.startswith(("ddpminv", "regdiffinv")) else B
+        flops = S_fwd * unet_flops(fwd_rows) + S_bwd * unet_flops(2 * R)
+        flops += lowered_cost(
+            enc_fn, pshape,
+            jax.ShapeDtypeStruct((B, size, size, 3), jnp.float32))["flops"]
+        flops += lowered_cost(
+            dec_fn, pshape, jax.ShapeDtypeStruct((R, s, s, 4), dt))["flops"]
+        tflop_per_edit = flops / B / 1e12
+        tflops_per_s = tflop_per_edit / per_edit
+        return {"tflop_per_edit": round(tflop_per_edit, 2),
+                "tflops_per_s": round(tflops_per_s, 2),
+                "mfu_vs_197tf": round(tflops_per_s / (V5E_PEAK_FLOPS / 1e12), 4)}
+    except Exception as e:  # never fail the bench over the diagnostic fields
+        print(f"# mfu cost model failed: {e}", file=sys.stderr)
+        return nulls
 
 
 def main():
@@ -56,6 +127,10 @@ def main():
     # pair-batched editing (B edits per compiled program) — the TPU-native
     # throughput lever the reference lacks; B=1 measures pure latency
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # serving mode: drop the source-reconstruction denoise rows (the edited
+    # image is the only output the serving path needs; reference editor.py's
+    # no_source_backward option) — halves the backward batch
+    no_src_bwd = os.environ.get("BENCH_NO_SRC_BWD", "0") == "1"
     model_name = model_env
 
     model, (pre, post) = load_diffusion_model(model_name, dtype="bfloat16")
@@ -69,7 +144,7 @@ def main():
     if config == "etainv_ptp":
         inverter = load_inverter(model, "etainv", num_inference_steps=steps,
                                  eta=((0.6, 0.0), (1.0, 0.7)), noise_sample_count=10)
-        editor = load_editor(inverter, "ptp")
+        editor = load_editor(inverter, "ptp", no_source_backward=no_src_bwd)
         cfg = dict(is_replace_controller=True, cross_replace_steps=0.8,
                    self_replace_steps=0.5)
         inv_cfg = {"edit_word_idx": (1, 1)}
@@ -77,24 +152,24 @@ def main():
         # the costliest inverter (reference null_text_inversion.py:42-94):
         # 50 x <=10 Adam steps, each a UNet fwd+bwd, inside lax.while_loop
         inverter = load_inverter(model, "nti", num_inference_steps=steps)
-        editor = load_editor(inverter, "simple")
+        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
         cfg = None
         inv_cfg = None
     elif config == "ddpminv_ptp":
         inverter = load_inverter(model, "ddpminv", num_inference_steps=steps)
-        editor = load_editor(inverter, "ptp")
+        editor = load_editor(inverter, "ptp", no_source_backward=no_src_bwd)
         cfg = dict(is_replace_controller=True, cross_replace_steps=0.8,
                    self_replace_steps=0.5)
         inv_cfg = None
     elif config == "regdiffinv_simple":
         inverter = load_inverter(model, "regdiffinv", num_inference_steps=steps)
-        editor = load_editor(inverter, "simple")
+        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
         cfg = None
         inv_cfg = None
     else:
         assert config == "diffinv_simple", config
         inverter = load_inverter(model, "diffinv", num_inference_steps=steps)
-        editor = load_editor(inverter, "simple")
+        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
         cfg = None
         inv_cfg = None
 
@@ -152,12 +227,22 @@ def main():
     print(f"# throughput: {1.0 / per_edit:.3f} images/sec/chip "
           f"({60.0 / per_edit:.1f} PIE imgs/min/chip)", file=sys.stderr)
     tag = "" if model_name == "sd15" else f"_{model_name}"
-    print(json.dumps({
+    if no_src_bwd:
+        tag += "_nosrcbwd"
+    row = {
         "metric": f"{config}{tag}_{steps}step_{size}px_batch{batch}_s_per_edit",
         "value": round(per_edit, 4),
         "unit": "s/edit",
         "vs_baseline": round(baseline_s / per_edit, 4),
-    }))
+        # effective measurement mode (ADVICE r4: SDXL silently measured 1
+        # repeat / sync-each — make rows comparable by recording it)
+        "repeats": repeats,
+        "sync_each": bool(sync_each),
+    }
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        row.update(_mfu_fields(inverter, model, config, batch, steps, per_edit,
+                               no_src_bwd))
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

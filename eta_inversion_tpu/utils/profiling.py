@@ -63,6 +63,24 @@ V5E_PEAK_FLOPS = 197e12
 V5E_PEAK_BW = 819e9
 
 
+def lowered_cost(fn, *args, **kwargs) -> Dict[str, float]:
+    """HLO cost model WITHOUT backend compilation (jit(fn).lower(...).cost_analysis()).
+
+    Cheap enough to run inside bench.py per row (tracing only, seconds even
+    for the SDXL UNet — no XLA compile, no device).  Args may be
+    jax.ShapeDtypeStruct trees.  NOTE: loop bodies (lax.scan/while) are
+    counted ONCE, not multiplied by trip count — callers must scale per-step
+    costs by their step counts themselves (verified empirically; this is why
+    bench.py costs one UNet apply and multiplies by the scan length)."""
+    import jax
+
+    ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return {"flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0))}
+
+
 def cost_analysis(fn, *args, **kwargs) -> Dict[str, float]:
     """XLA's compiled cost model for `jit(fn)(*args)`: flops, bytes accessed,
     arithmetic intensity, and roofline-minimum runtime."""
