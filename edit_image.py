@@ -33,7 +33,8 @@ def main(args):
 
     import json
 
-    model, (preproc, postproc) = load_diffusion_model(args.model, dtype=args.dtype)
+    model, (preproc, postproc) = load_diffusion_model(
+        args.model, dtype=args.dtype, weights_dir=getattr(args, "weights_dir", None))
     inverter = load_inverter(model, args.inv_method,
                              num_inference_steps=args.steps, seed=args.seed,
                              **json.loads(args.method_cfg))
@@ -93,6 +94,10 @@ if __name__ == "__main__":
     add_argparse_arg(parser, "steps")
     add_argparse_arg(parser, "dtype")
     add_argparse_arg(parser, "seed")
+    parser.add_argument("--weights_dir", type=str, default=None,
+                        help="Diffusers-layout checkpoint directory "
+                             "({unet,vae,text_encoder}/*.safetensors + "
+                             "tokenizer/); random init when absent")
     parser.add_argument("--method_cfg", type=str, default="{}",
                         help="JSON kwargs for the inversion method, e.g. "
                              '\'{"scheduler": "dpm", "solver_order": 3}\'')

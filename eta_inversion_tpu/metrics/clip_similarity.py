@@ -14,6 +14,7 @@ default — pass `caption_fn` to override, `captioner="tiny"` for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -72,17 +73,29 @@ class _ClipBackbone:
     """Cached CLIP towers + jitted encoders (random-init offline)."""
 
     def __init__(self, vision_cfg: CLIPVisionConfig, text_cfg: CLIPTextConfig,
-                 seed: int = 11):
+                 seed: int = 11, weights_path: Optional[str] = None,
+                 vocab_dir: Optional[str] = None):
         self.vision_cfg = vision_cfg
         self.vision = CLIPVisionEncoder(vision_cfg)
         self.text = CLIPTextProjector(text_cfg, vision_cfg.projection_dim)
-        self.tokenizer = load_tokenizer(None, vocab_size=text_cfg.vocab_size)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        self.tokenizer = load_tokenizer(vocab_dir, vocab_size=text_cfg.vocab_size)
         sz = vision_cfg.image_size
-        self.vparams = jax.jit(lambda k: self.vision.init(
-            k, jnp.zeros((1, sz, sz, 3)))["params"])(k1)
-        self.tparams = jax.jit(lambda k: self.text.init(
-            k, jnp.zeros((1, text_cfg.max_length), jnp.int32))["params"])(k2)
+        if weights_path:
+            # openai `clip` state-dict .npz (tools/convert_weights.py `clip`)
+            from ..models.backbone_weights import (map_openai_clip_text,
+                                                   map_openai_clip_vision,
+                                                   to_jax)
+
+            flat = dict(np.load(weights_path))
+            self.vparams = to_jax(map_openai_clip_vision(
+                flat, vision_cfg.num_layers))
+            self.tparams = to_jax(map_openai_clip_text(flat, text_cfg.num_layers))
+        else:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+            self.vparams = jax.jit(lambda k: self.vision.init(
+                k, jnp.zeros((1, sz, sz, 3)))["params"])(k1)
+            self.tparams = jax.jit(lambda k: self.text.init(
+                k, jnp.zeros((1, text_cfg.max_length), jnp.int32))["params"])(k2)
 
         # params passed as jit arguments (not closure constants) — see
         # inversion/base.py note on the axon compile relay's size limit
@@ -112,17 +125,37 @@ class _ClipBackbone:
 
 
 @functools.lru_cache(maxsize=2)
+def _cached_clip_backbone(image_size, hidden, layers, heads, patch, text_hidden,
+                          text_layers, text_heads, vocab_size, weights_path,
+                          vocab_dir, projection_dim) -> _ClipBackbone:
+    vcfg = CLIPVisionConfig(image_size=image_size, patch_size=patch,
+                            hidden_size=hidden, num_layers=layers, num_heads=heads,
+                            projection_dim=projection_dim)
+    tcfg = CLIPTextConfig(vocab_size=vocab_size, hidden_size=text_hidden,
+                          num_layers=text_layers, num_heads=text_heads)
+    return _ClipBackbone(vcfg, tcfg, weights_path=weights_path,
+                         vocab_dir=vocab_dir)
+
+
 def get_clip_backbone(image_size: int = 224, hidden: int = 768, layers: int = 12,
                       heads: int = 12, patch: int = 16, text_hidden: int = 512,
                       text_layers: int = 12, text_heads: int = 8,
-                      vocab_size: int = 49408) -> _ClipBackbone:
+                      vocab_size: int = 49408,
+                      weights_path: Optional[str] = None,
+                      vocab_dir: Optional[str] = None,
+                      projection_dim: int = 512) -> _ClipBackbone:
     """CLIP ViT-B/16 by default (the reference's metric model); pass smaller
-    dims for tests."""
-    vcfg = CLIPVisionConfig(image_size=image_size, patch_size=patch,
-                            hidden_size=hidden, num_layers=layers, num_heads=heads)
-    tcfg = CLIPTextConfig(vocab_size=vocab_size, hidden_size=text_hidden,
-                          num_layers=text_layers, num_heads=text_heads)
-    return _ClipBackbone(vcfg, tcfg)
+    dims for tests.  Pretrained weights: explicit `weights_path` (openai clip
+    state-dict .npz) / `vocab_dir` or the ETA_TPU_CLIP_NPZ / ETA_TPU_CLIP_VOCAB
+    env vars; random init otherwise."""
+    from ..models.backbone_weights import env_weights
+
+    weights_path = env_weights("ETA_TPU_CLIP_NPZ", weights_path)
+    vocab_dir = vocab_dir or os.environ.get("ETA_TPU_CLIP_VOCAB")
+    return _cached_clip_backbone(image_size, hidden, layers, heads, patch,
+                                 text_hidden, text_layers, text_heads,
+                                 vocab_size, weights_path, vocab_dir,
+                                 projection_dim)
 
 
 class CLIPSimilarity(SimpleMetric):

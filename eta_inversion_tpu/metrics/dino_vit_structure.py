@@ -32,14 +32,22 @@ def attn_cosine_sim(x, eps: float = 1e-8):
 
 @functools.lru_cache(maxsize=2)
 def _dino_fns(model_name: str, image_size: int, hidden: int, layers: int,
-              heads: int, seed: int = 13):
+              heads: int, seed: int = 13, weights_path: Optional[str] = None):
     patch = {"dino_vitb8": 8, "dinov2_vitb14": 14}.get(model_name, 8)
     cfg = ViTConfig(image_size=image_size, patch_size=patch, hidden_size=hidden,
-                    num_layers=layers, num_heads=heads)
+                    num_layers=layers, num_heads=heads,
+                    layerscale=model_name.startswith("dinov2"))
     model = ViT(cfg)
-    params = jax.jit(lambda k: model.init(
-        k, jnp.zeros((1, image_size, image_size, 3)))["params"])(
-            jax.random.PRNGKey(seed))
+    if weights_path:
+        # torch.hub state-dict .npz (tools/convert_weights.py `dino` mode)
+        from ..models.backbone_weights import map_dino_vit, to_jax
+
+        params = to_jax(map_dino_vit(dict(np.load(weights_path)), layers,
+                                     layerscale=cfg.layerscale))
+    else:
+        params = jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, image_size, image_size, 3)))["params"])(
+                jax.random.PRNGKey(seed))
     layer = cfg.num_layers - 1
 
     # params as a jit argument, not a closure constant (see inversion/base.py)
@@ -60,10 +68,16 @@ class DinoVitStructure(SimpleMetric):
     def __init__(self, input_range: Tuple[float, float] = (-1, 1),
                  device: Optional[str] = None, vit_model: str = "dino_vitb8",
                  image_size: int = 224, hidden: int = 768, layers: int = 12,
-                 heads: int = 12):
+                 heads: int = 12, weights_path: Optional[str] = None):
         super().__init__(input_range, device)
         self.vit_model = vit_model
-        self._self_sim = _dino_fns(vit_model, image_size, hidden, layers, heads)
+        from ..models.backbone_weights import env_weights
+
+        env = ("ETA_TPU_DINOV2_NPZ" if vit_model.startswith("dinov2")
+               else "ETA_TPU_DINO_NPZ")
+        weights_path = env_weights(env, weights_path)
+        self._self_sim = _dino_fns(vit_model, image_size, hidden, layers, heads,
+                                   weights_path=weights_path)
 
     def forward(self, pred, target):
         pred, target = self._normalize(pred), self._normalize(target)

@@ -92,7 +92,12 @@ _LPIPS_CACHE = {}
 
 
 def load_lpips_params(weights_path: Optional[str] = None, seed: int = 7):
-    """Load LPIPS params from an .npz (flat {path: array}) or random-init."""
+    """Load LPIPS params from an .npz (flat {path: array}, explicit path or
+    the ETA_TPU_LPIPS_NPZ env var) or random-init."""
+    if weights_path is None:
+        env = os.environ.get("ETA_TPU_LPIPS_NPZ")
+        if env and os.path.exists(env):
+            weights_path = env
     key = weights_path or f"random-{seed}"
     if key in _LPIPS_CACHE:
         return _LPIPS_CACHE[key]

@@ -23,15 +23,19 @@ class ViTConfig:
     hidden_size: int = 768
     num_layers: int = 12
     num_heads: int = 12
+    # DINOv2 blocks scale the attention/MLP residual branches by learned
+    # per-channel gammas (LayerScale); DINO v1 has none
+    layerscale: bool = False
 
 
 DINO_VITB8 = ViTConfig(patch_size=8)
-DINOV2_VITB14 = ViTConfig(patch_size=14)
+DINOV2_VITB14 = ViTConfig(patch_size=14, layerscale=True)
 
 
 class ViTBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    layerscale: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -50,12 +54,17 @@ class ViTBlock(nn.Module):
         p = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, c)
-        x = x + nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        if self.layerscale:
+            o = o * self.param("ls1_gamma", nn.initializers.ones, (c,))
+        x = x + o
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(4 * c, dtype=self.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)  # timm/DINO ViT uses exact gelu
-        x = x + nn.Dense(c, dtype=self.dtype, name="fc2")(h)
-        return x
+        h = nn.Dense(c, dtype=self.dtype, name="fc2")(h)
+        if self.layerscale:
+            h = h * self.param("ls2_gamma", nn.initializers.ones, (c,))
+        return x + h
 
 
 class ViT(nn.Module):
@@ -80,7 +89,8 @@ class ViT(nn.Module):
                          (npos, cfg.hidden_size))
         x = x + pos[None, : x.shape[1]].astype(self.dtype)
         for i in range(cfg.num_layers):
-            x = ViTBlock(cfg.num_heads, self.dtype, name=f"blocks_{i}")(x)
+            x = ViTBlock(cfg.num_heads, self.dtype, layerscale=cfg.layerscale,
+                         name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
 
     def keys_at_layer(self, params, pixels, layer: int) -> jnp.ndarray:

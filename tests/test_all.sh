@@ -12,7 +12,7 @@ mkdir -p result/test
 fail=0
 for t in schedulers models weights hf_parity kernels native data demo blip \
          torch_crosscheck torch_neural_crosscheck torch_e2e_oracle sd_geometry \
-         lowering_real_geometry real_weights_rehearsal \
+         lowering_real_geometry real_weights_rehearsal backbone_weights_rehearsal \
          inversion editing batched metrics \
          parallel eval_harness cli serving; do
     python -m pytest "tests/test_${t}.py" -q 2>&1 | tee "result/test/${t}.log" || fail=1

@@ -48,9 +48,9 @@ def convert_clip(out_path: str) -> None:
 
     model, _ = clip.load("ViT-B/16", device="cpu")
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    # Mapping to models/clip.py CLIPVisionEncoder / CLIPTextProjector paths is
-    # environment-specific work; dump the raw state dict for downstream
-    # mapping (models/weights.py map_state_dict pattern).
+    # raw openai state dict; mapped at load time by
+    # models/backbone_weights.map_openai_clip_vision/_text (rehearsal-tested
+    # in tests/test_backbone_weights_rehearsal.py)
     np.savez(out_path, **{k: v for k, v in sd.items()})
     print(f"wrote {out_path} ({len(sd)} tensors)")
 
