@@ -12,7 +12,8 @@ eta-inversion candidate-noise selection.
 
 Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
 BENCH_CONFIG=etainv_ptp|diffinv_simple|nti_simple|ddpminv_ptp|
-regdiffinv_simple, BENCH_BATCH (default 8; 1 = pure latency mode),
+regdiffinv_simple|edict_simple|dpm_simple,
+BENCH_BATCH (default 8; 1 = pure latency mode),
 BENCH_MODEL (default sd15; sd21 = second model family, SD2.x geometry),
 BENCH_NO_SRC_BWD=1 (serving mode: skip the source-reconstruction denoise rows,
 editor no_source_backward — halves the backward batch; the edited image is
@@ -35,7 +36,9 @@ def _mfu_fields(inverter, model, config, batch, steps, per_edit, no_src_bwd):
     excluded.  nti's inner while_loop has a data-dependent trip count -> null.
     """
     nulls = {"tflop_per_edit": None, "tflops_per_s": None, "mfu_vs_197tf": None}
-    if config.startswith("nti"):
+    # nti: data-dependent inner while_loop trip count; edict: coupled
+    # dual-latent half-updates don't fit the rows-per-step convention below
+    if config.startswith(("nti", "edict")):
         return nulls
     try:
         import jax
@@ -163,6 +166,19 @@ def main():
         inv_cfg = None
     elif config == "regdiffinv_simple":
         inverter = load_inverter(model, "regdiffinv", num_inference_steps=steps)
+        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
+        cfg = None
+        inv_cfg = None
+    elif config == "edict_simple":
+        # coupled dual-latent affine chains (reference edict_inversion.py)
+        inverter = load_inverter(model, "edict", num_inference_steps=steps)
+        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
+        cfg = None
+        inv_cfg = None
+    elif config == "dpm_simple":
+        # DPM-Solver++ multistep inverse scheduler under diffinv
+        inverter = load_inverter(model, "diffinv", scheduler="dpm",
+                                 num_inference_steps=steps)
         editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
         cfg = None
         inv_cfg = None

@@ -179,8 +179,13 @@ def edit_batch(editor, images, source_prompts: List[str], target_prompts: List[s
     if hasattr(inv, "skip_inv_result") and getattr(inv, "skip_steps", None) is not None:
         inv_res = inv.skip_inv_result(inv_res)
     zT = inv_res["latents"][-1]
-    latent2 = jnp.concatenate([zT, zT], axis=0)  # [s rows; t rows]
+    # [s rows; t rows] — cat_latent, not a raw axis-0 concat: edict's coupled
+    # pair keeps its (2, rows, ...) chain axis in front and batches on axis 1
+    latent2 = inv.cat_latent([zT, zT])
     z0 = inv.diffusion_backward(latent2, ctx_bwd, inv_res, ctrl=ctrl)
+    # coupled-pair inverters (edict) flatten to their output chain before
+    # decode, matching sample(); the discarded chain is never decoded
+    z0 = inv.flat_latent(z0)
     image = inv.decode(z0)
     # slicing rows of a "data"-sharded array de-shards it (the half-slice
     # spans only half the devices); re-place so downstream consumers

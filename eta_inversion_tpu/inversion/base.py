@@ -155,6 +155,12 @@ class DiffusionInversion:
     def cat_latent(self, latents: List[jnp.ndarray]) -> jnp.ndarray:
         return jnp.concatenate(latents, axis=0)
 
+    def flat_latent(self, z0: jnp.ndarray) -> jnp.ndarray:
+        """Flat (rows, h, w, c) view of a diffusion_backward result.  Coupled-
+        pair inverters (edict) override to select the output chain, so
+        sample()/editors always see plain row-batched latents."""
+        return z0
+
     # ------------------------------------------------------------- primitives
 
     def combine_guidance(self, eps_u, eps_c, guidance_scale, latent, t, inp=None,
@@ -519,6 +525,12 @@ class DiffusionInversion:
         z0 = self.diffusion_backward(latent, context, inv_result, ctrl=ctrl, rng=rng)
         if z0 is None:
             return None
+        # pair inverters (edict) return (2, rows, ...): flatten to the output
+        # chain BEFORE decode, so image/latent rows always align with the
+        # context rows (and the discarded chain is never decoded).  The
+        # reference reads the first chain as the result (edict_inversion.py
+        # denoise loop's x latent).
+        z0 = self.flat_latent(z0)
         image = self.decode(z0)
         return {"image": image, "latent": z0}
 

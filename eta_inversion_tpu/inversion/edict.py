@@ -121,8 +121,15 @@ class EdictInversion(DiffusionInversion):
         return jnp.stack([latent, latent], axis=0)  # (2, B, h, w, c)
 
     def decode(self, pair):
+        if pair.ndim == 4:  # already-flat rows (e.g. sample() after flat_latent)
+            return super().decode(pair)
         flat = jnp.concatenate([pair[0], pair[1]], axis=0)
         return super().decode(flat)
+
+    def flat_latent(self, pair):
+        # the x chain is the output (reference edict_inversion.py's denoise
+        # loop reads the first coupled latent as the result)
+        return pair[0]
 
     def cat_latent(self, latents: List[jnp.ndarray]) -> jnp.ndarray:
         # each element is a pair (2, B, ...); batch within each slot

@@ -538,7 +538,33 @@ def crossk_attention_bhsd(q, k, v, sk: int, scale: float, block_q: int = 1024,
     )(q, kt, vpad)
 
 
+# trace-time override: when > 0, on_tpu() reports False so the dispatcher
+# takes the pure-XLA path even though the process backend is a TPU.  Used by
+# utils.profiling.lowered_cost's CPU re-lower (the axon relay returns no
+# client-side cost model): Pallas TPU kernels refuse to lower for the CPU
+# target, but the XLA attention path lowers anywhere and counts the same
+# matmul FLOPs.
+_FORCE_XLA_DEPTH = 0
+
+
+class force_xla_attention:
+    """Context manager forcing the XLA (non-Pallas) attention path at trace
+    time.  Re-entrant; affects only traces started inside the context."""
+
+    def __enter__(self):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH += 1
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_DEPTH
+        _FORCE_XLA_DEPTH -= 1
+        return False
+
+
 def on_tpu() -> bool:
+    if _FORCE_XLA_DEPTH:
+        return False
     return jax.default_backend() not in ("cpu", "gpu")
 
 

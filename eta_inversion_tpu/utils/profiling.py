@@ -75,8 +75,20 @@ def lowered_cost(fn, *args, **kwargs) -> Dict[str, float]:
     import jax
 
     ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+    if ca is None:
+        # the axon relay backend lowers remotely and returns no client-side
+        # cost model — re-lower against the CPU target (the HLO cost model is
+        # platform-independent at this level: same graph, same flop count).
+        # Pallas TPU kernels refuse to lower for CPU, so force the dispatcher
+        # onto the XLA attention path (identical matmul FLOPs).
+        from ..ops.flash_attention import force_xla_attention
+
+        with jax.default_device(jax.devices("cpu")[0]), force_xla_attention():
+            ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
+    if ca is None:
+        ca = {}
     return {"flops": float(ca.get("flops", 0.0)),
             "bytes": float(ca.get("bytes accessed", 0.0))}
 

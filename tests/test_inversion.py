@@ -139,7 +139,9 @@ def test_edict_exact_reconstruction(tiny_model, test_image):
     ctx = inv.create_context(PROMPT)
     res = inv.invert(jnp.asarray(test_image), context=ctx)
     out = inv.sample(res, context=ctx)
-    rec = np.asarray(out["latent"][0])  # x component of the pair
+    # sample() flattens the coupled pair to the output x chain (rows, h, w, c)
+    rec = np.asarray(out["latent"])
+    assert rec.shape == np.asarray(z0).shape
     np.testing.assert_allclose(rec, np.asarray(z0), rtol=1e-2, atol=1e-3)
 
 
