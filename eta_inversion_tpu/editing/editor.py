@@ -31,6 +31,20 @@ class ControllerBasedEditor(Editor):
                  dft_cfg: Optional[Dict[str, Any]] = None, fake_edit: bool = False):
         self.inverter = inverter
         self.no_source_backward = no_source_backward
+        if no_source_backward:
+            import warnings
+
+            # pair-row attention interventions (ptp cross/self replace,
+            # masactrl k/v substitution, pnp injection) read the SOURCE rows
+            # of the denoise batch; with those rows dropped they substitute
+            # the target into itself — an exact no-op.  Serving mode is only
+            # semantics-preserving for editors without pair-row hooks
+            # (SimpleEditor; etainv's scheduler-level editing).
+            warnings.warn(
+                f"{type(self).__name__} with no_source_backward=True: "
+                "pair-row attention interventions are inert without the "
+                "source rows; the edit degrades to hook-free denoising. "
+                "Use SimpleEditor for serving-mode edits.", stacklevel=2)
         self.dft_cfg = dft_cfg if dft_cfg is not None else {}
         self.fake_edit = fake_edit
 

@@ -93,9 +93,14 @@ def main():
         mark("controller_host", t0)
 
         t0 = time.perf_counter()
-        ctx_bwd = inv.cat_context([ctx_src, ctx_tgt])
         zT = inv_res["latents"][-1]
-        latent2 = inv.cat_latent([zT, zT])
+        if os.environ.get("PROBE_NO_SRC", "0") == "1":
+            # serving mode: target row only (editor no_source_backward)
+            ctx_bwd = ctx_tgt
+            latent2 = zT
+        else:
+            ctx_bwd = inv.cat_context([ctx_src, ctx_tgt])
+            latent2 = inv.cat_latent([zT, zT])
         z0 = inv.diffusion_backward(latent2, ctx_bwd, inv_res, ctrl=ctrl)
         sync(z0)
         mark("bwd_scan", t0)

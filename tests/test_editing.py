@@ -67,6 +67,26 @@ def test_ptp_refine_mode(tiny_model, test_image):
     assert res is not None and res["image"].shape[0] == 1
 
 
+def test_serving_mode_contract(tiny_model, test_image):
+    """no_source_backward (serving mode): exact for simple+deterministic
+    inverters — the dropped source rows only feed the discarded
+    reconstruction — and warns for controller-based editors, whose pair-row
+    substitutions are inert without the source rows."""
+    import warnings
+
+    inv = load_inverter(tiny_model, "diffinv", num_inference_steps=STEPS)
+    full = load_editor(inv, "simple").edit(jnp.asarray(test_image), SRC, TGT)
+    srv = load_editor(inv, "simple", no_source_backward=True).edit(
+        jnp.asarray(test_image), SRC, TGT)
+    np.testing.assert_allclose(np.asarray(srv["image"]),
+                               np.asarray(full["image"]), atol=1e-3)
+    assert "image_inv" not in srv
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_editor(inv, "ptp", no_source_backward=True)
+    assert any("inert" in str(x.message) for x in w)
+
+
 def test_edit_consistency(tiny_model, test_image):
     """Same edit twice with an unrelated edit in between must be bitwise
     identical (reference test_edit.py:258-289)."""
