@@ -12,15 +12,18 @@ eta-inversion candidate-noise selection.
 
 Env knobs: BENCH_STEPS (default 50), BENCH_REPEATS (default 3),
 BENCH_CONFIG=etainv_ptp|diffinv_simple|nti_simple|ddpminv_ptp|
-regdiffinv_simple|edict_simple|dpm_simple|etainv_simple,
+regdiffinv_simple|edict_simple|dpm_simple,
 BENCH_BATCH (default 8; 1 = pure latency mode),
 BENCH_MODEL (default sd15; sd21 = second model family, SD2.x geometry),
 BENCH_NO_SRC_BWD=1 (serving mode: skip the source-reconstruction denoise rows,
-editor no_source_backward — halves the backward batch.  Exact for the simple
-editor with deterministic inverters, distribution-identical for stochastic
-ones; attention-hook editors (ptp/masactrl/pnp) degrade — their pair-row
-substitutions become self-substitution no-ops — so pair it with
-etainv_simple, not etainv_ptp),
+editor no_source_backward — halves the backward batch.  Only sound for
+diffinv/dpm/edict + simple (bitwise-exact: the dropped rows feed only the
+discarded reconstruction) and ddpminv + simple (distribution-identical);
+source-anchored inverters (etainv/dirinv) are REJECTED by the editor — their
+backward snaps source rows to the forward trajectory, so single-prompt
+serving would return the reconstruction with the UNet dead-code-eliminated —
+and attention-hook editors (ptp/masactrl/pnp) warn: their pair-row
+substitutions degenerate to no-ops.  Serving config: diffinv_simple),
 BENCH_MFU=0 to skip the cost-model fields.
 """
 
@@ -172,23 +175,6 @@ def main():
         editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
         cfg = None
         inv_cfg = None
-    elif config == "etainv_simple":
-        # serving-latency config: eta inversion's editing mechanism (per-pixel
-        # eta + candidate-noise selection) lives in the backward scheduler, so
-        # the simple editor loses nothing.  With no_source_backward the target
-        # image is bitwise-equal for deterministic inverters (diffinv/dpm/
-        # edict: only the discarded reconstruction rows are dropped; verified
-        # on tiny geometry) and equal IN DISTRIBUTION for stochastic ones
-        # (etainv/ddpminv: the per-row noise draw shifts with the batch
-        # layout).  Attention-hook editors (ptp/masactrl/pnp) are NOT valid
-        # serving configs: their pair-row substitutions degenerate to
-        # self-substitution no-ops when the source rows are dropped.
-        inverter = load_inverter(model, "etainv", num_inference_steps=steps,
-                                 eta=((0.6, 0.0), (1.0, 0.7)),
-                                 noise_sample_count=10)
-        editor = load_editor(inverter, "simple", no_source_backward=no_src_bwd)
-        cfg = None
-        inv_cfg = {"edit_word_idx": (1, 1)}
     elif config == "edict_simple":
         # coupled dual-latent affine chains (reference edict_inversion.py)
         inverter = load_inverter(model, "edict", num_inference_steps=steps)

@@ -23,6 +23,41 @@ class Editor:
         raise NotImplementedError
 
 
+def check_no_source_backward(editor, inverter) -> None:
+    """Validate a `no_source_backward=True` (serving mode) editor build.
+
+    Two ways serving mode silently breaks, both rejected/flagged here:
+
+    * source-anchored inverters (etainv/dirinv, `requires_source_rows`): their
+      backward snaps rows [:B] to the forward trajectory, so a single-prompt
+      batch outputs the replayed reconstruction and XLA dead-code-eliminates
+      the UNet from the backward program — raise, the result would be garbage
+      that *looks* plausible (and benches absurdly fast);
+    * controller editors with pair-row attention hooks (ptp/masactrl/pnp):
+      with the source rows dropped the substitutions become self-substitution
+      no-ops — warn, the edit degrades to hook-free denoising.
+
+    Serving mode is sound for SimpleEditor over trajectory-free inverters:
+    bitwise-exact for deterministic ones (diffinv/dpm/edict — verified at tiny
+    geometry), distribution-identical for stochastic ones (ddpminv).
+    """
+    if getattr(inverter, "requires_source_rows", False):
+        raise ValueError(
+            f"{type(inverter).__name__} anchors source rows to the forward "
+            "trajectory; no_source_backward would return the reconstruction, "
+            "not the edit. Use the pair-batched edit for this inverter.")
+    from .editor import ControllerBasedEditor  # self-import safe at call time
+
+    if isinstance(editor, ControllerBasedEditor):
+        import warnings
+
+        warnings.warn(
+            f"{type(editor).__name__} with no_source_backward=True: "
+            "pair-row attention interventions are inert without the "
+            "source rows; the edit degrades to hook-free denoising. "
+            "Use SimpleEditor for serving-mode edits.", stacklevel=3)
+
+
 class ControllerBasedEditor(Editor):
     """Invert with the source prompt, then denoise [source, target] under a
     functional controller (reference editor.py:30-118)."""
@@ -32,19 +67,7 @@ class ControllerBasedEditor(Editor):
         self.inverter = inverter
         self.no_source_backward = no_source_backward
         if no_source_backward:
-            import warnings
-
-            # pair-row attention interventions (ptp cross/self replace,
-            # masactrl k/v substitution, pnp injection) read the SOURCE rows
-            # of the denoise batch; with those rows dropped they substitute
-            # the target into itself — an exact no-op.  Serving mode is only
-            # semantics-preserving for editors without pair-row hooks
-            # (SimpleEditor; etainv's scheduler-level editing).
-            warnings.warn(
-                f"{type(self).__name__} with no_source_backward=True: "
-                "pair-row attention interventions are inert without the "
-                "source rows; the edit degrades to hook-free denoising. "
-                "Use SimpleEditor for serving-mode edits.", stacklevel=2)
+            check_no_source_backward(self, inverter)
         self.dft_cfg = dft_cfg if dft_cfg is not None else {}
         self.fake_edit = fake_edit
 

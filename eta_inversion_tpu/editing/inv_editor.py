@@ -19,6 +19,10 @@ class InversionEditor(Editor):
         self.no_source_backward = no_source_backward
         self.vae_rec = vae_rec
         self.no_null_source_prompt = no_null_source_prompt
+        if no_source_backward:
+            from .editor import check_no_source_backward
+
+            check_no_source_backward(self, inverter)
 
     def edit(self, image, source_prompt: str, target_prompt: str,
              cfg: Optional[Dict[str, Any]] = None, inv_cfg: Optional[Dict[str, Any]] = None,

@@ -16,6 +16,10 @@ class SimpleEditor(Editor):
         self.inverter = inverter
         self.model = inverter.model
         self.no_source_backward = no_source_backward
+        if no_source_backward:
+            from .editor import check_no_source_backward
+
+            check_no_source_backward(self, inverter)
 
     def edit(self, image, source_prompt: str, target_prompt: str,
              cfg: Optional[Dict[str, Any]] = None, inv_cfg: Optional[Dict[str, Any]] = None,

@@ -155,6 +155,16 @@ class DiffusionInversion:
     def cat_latent(self, latents: List[jnp.ndarray]) -> jnp.ndarray:
         return jnp.concatenate(latents, axis=0)
 
+    # True for inverters whose backward step anchors the first B latent rows
+    # to the recorded forward trajectory (direct-inversion-style source-row
+    # snapping).  Such inverters REQUIRE the pair layout [src rows; tgt rows]:
+    # denoising a single-prompt batch would make every row a "source" row,
+    # reduce the output to the replayed forward trajectory, and let XLA
+    # dead-code-eliminate the entire UNet from the backward program (observed
+    # on-chip: a 50-step backward scan in 83 ms).  Editors reject
+    # no_source_backward for these.
+    requires_source_rows: bool = False
+
     def flat_latent(self, z0: jnp.ndarray) -> jnp.ndarray:
         """Flat (rows, h, w, c) view of a diffusion_backward result.  Coupled-
         pair inverters (edict) override to select the output chain, so

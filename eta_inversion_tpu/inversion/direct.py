@@ -17,6 +17,7 @@ from .base import DiffusionInversion
 
 class DirectInversion(DiffusionInversion):
     name = "dirinv"
+    requires_source_rows = True  # bwd snaps rows [:B] to the fwd trajectory
 
     def backward_scan_extras(self, inv_result, n_prompts):
         extras = dict(super().backward_scan_extras(inv_result, n_prompts))

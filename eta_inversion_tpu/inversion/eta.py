@@ -67,6 +67,7 @@ def build_eta_table(eta, num_train_steps: int = 1000) -> np.ndarray:
 
 class EtaInversion(DiffusionInversion):
     name = "etainv"
+    requires_source_rows = True  # bwd snaps rows [:B] to the fwd trajectory
 
     def __init__(self, model, scheduler=None, num_inference_steps=None,
                  guidance_scale_bwd=None, guidance_scale_fwd=None, verbose=False,

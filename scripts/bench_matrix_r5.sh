@@ -19,7 +19,9 @@ run() {
 }
 
 run BENCH_CONFIG=etainv_ptp BENCH_BATCH=1                      # latency mode
-run BENCH_CONFIG=etainv_ptp BENCH_BATCH=1 BENCH_NO_SRC_BWD=1   # serving latency
+# serving latency: diffinv+simple is the only bitwise-exact serving combo
+# (etainv/dirinv are source-anchored and rejected; hook editors degrade)
+run BENCH_CONFIG=diffinv_simple BENCH_BATCH=1 BENCH_NO_SRC_BWD=1 BENCH_SYNC=1
 run BENCH_CONFIG=diffinv_simple BENCH_BATCH=8
 run BENCH_CONFIG=ddpminv_ptp BENCH_BATCH=8
 run BENCH_CONFIG=regdiffinv_simple BENCH_BATCH=8

@@ -86,6 +86,14 @@ def test_serving_mode_contract(tiny_model, test_image):
         load_editor(inv, "ptp", no_source_backward=True)
     assert any("inert" in str(x.message) for x in w)
 
+    # source-anchored inverters are rejected outright: their backward snaps
+    # rows [:B] to the forward trajectory, so single-prompt serving would
+    # return the reconstruction with the UNet dead-code-eliminated
+    eta = load_inverter(tiny_model, "etainv", num_inference_steps=STEPS,
+                        noise_sample_count=2)
+    with pytest.raises(ValueError, match="anchors source rows"):
+        load_editor(eta, "simple", no_source_backward=True)
+
 
 def test_edit_consistency(tiny_model, test_image):
     """Same edit twice with an unrelated edit in between must be bitwise
